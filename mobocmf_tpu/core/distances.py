@@ -1,0 +1,41 @@
+"""Distance utilities and the median-heuristic lengthscale initializer.
+
+Parity targets:
+- `compute_dist` mirrors /root/reference/mobocmf/util/util.py:32-33
+  (squared Euclidean distance matrix via the expansion trick).
+- `median_lengthscale` mirrors /root/reference/mobocmf/models/mfdgp.py:142-144:
+  sqrt(median of strictly-upper-triangular pairwise *squared* distances).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def compute_dist(x: Array) -> Array:
+    """Squared Euclidean distance matrix, (n, n)."""
+    sq = jnp.sum(x**2, axis=1, keepdims=True)
+    return sq - 2.0 * (x @ x.T) + sq.T
+
+
+def median_lengthscale(x: Array) -> Array:
+    """Median-heuristic lengthscale: sqrt(median of off-diagonal sq-dists).
+
+    Uses the strictly-upper-triangular entries like the reference
+    (`triu_indices(n, 1)`), implemented as a masked median for jit safety.
+    """
+    n = x.shape[0]
+    d2 = compute_dist(x)
+    iu, ju = jnp.triu_indices(n, k=1)
+    vals = d2[iu, ju]
+    return jnp.sqrt(jnp.median(vals))
+
+
+def cdist(x1: Array, x2: Array) -> Array:
+    """Euclidean distance matrix between two point sets, (n1, n2)."""
+    sq1 = jnp.sum(x1**2, axis=1, keepdims=True)
+    sq2 = jnp.sum(x2**2, axis=1, keepdims=True)
+    d2 = sq1 - 2.0 * (x1 @ x2.T) + sq2.T
+    return jnp.sqrt(jnp.maximum(d2, 0.0))

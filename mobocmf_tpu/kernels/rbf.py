@@ -1,0 +1,76 @@
+"""RBF-ARD / scale / linear kernels as pure functions over raw-param pytrees.
+
+Matches the constrained-value semantics of gpytorch's
+ScaleKernel(RBFKernel(ard)) and LinearKernel as used by the reference's
+MFDGP hidden layers (/root/reference/mobocmf/layers/mfdgp_hidden_layer.py:41-115):
+
+    k_scale_rbf(x, z) = outputscale * exp(-0.5 * sum_d ((x_d - z_d)/ls_d)^2)
+    k_lin(x, z)       = variance * x @ z.T
+
+Raw params use the softplus ("Positive") transform, see core/constraints.py.
+The Gram computation is written as one matmul + elementwise exp so XLA maps it
+onto the MXU; a Pallas-tiled variant for large Grams lives in
+mobocmf_tpu/linalg/pallas_gram.py and is dispatched via `gram_backend`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from mobocmf_tpu.core.constraints import Positive
+
+Array = jnp.ndarray
+_positive = Positive()
+
+
+def init_scale_rbf_params(lengthscale, outputscale, ard_dims: int) -> Dict[str, Array]:
+    """Raw params for outputscale * RBF_ard. `lengthscale` scalar or (d,)."""
+    ls = jnp.broadcast_to(jnp.asarray(lengthscale, dtype=jnp.result_type(float)), (ard_dims,))
+    return {
+        "raw_lengthscale": _positive.inverse(ls),
+        "raw_outputscale": _positive.inverse(jnp.asarray(outputscale, dtype=ls.dtype)),
+    }
+
+
+def init_linear_params(variance) -> Dict[str, Array]:
+    return {"raw_variance": _positive.inverse(jnp.asarray(variance, dtype=jnp.result_type(float)))}
+
+
+def scale_rbf_constrained(params):
+    return _positive.forward(params["raw_lengthscale"]), _positive.forward(
+        params["raw_outputscale"]
+    )
+
+
+def rbf_gram(params: Dict[str, Array], x1: Array, x2: Array) -> Array:
+    """outputscale * exp(-0.5 ||(x1-x2)/ls||^2), shape (n1, n2).
+
+    Computed via the expansion trick so the inner product hits the MXU:
+    ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b on lengthscale-normalized inputs.
+    """
+    ls, os_ = scale_rbf_constrained(params)
+    a = x1 / ls
+    b = x2 / ls
+    sq_a = jnp.sum(a * a, axis=-1, keepdims=True)
+    sq_b = jnp.sum(b * b, axis=-1, keepdims=True)
+    d2 = sq_a - 2.0 * (a @ b.T) + sq_b.T
+    d2 = jnp.maximum(d2, 0.0)
+    return os_ * jnp.exp(-0.5 * d2)
+
+
+def rbf_diag(params: Dict[str, Array], x: Array) -> Array:
+    """diag of rbf_gram(x, x) == outputscale everywhere."""
+    _, os_ = scale_rbf_constrained(params)
+    return jnp.full((x.shape[0],), 1.0, dtype=x.dtype) * os_
+
+
+def linear_gram(params: Dict[str, Array], x1: Array, x2: Array) -> Array:
+    v = _positive.forward(params["raw_variance"])
+    return v * (x1 @ x2.T)
+
+
+def linear_diag(params: Dict[str, Array], x: Array) -> Array:
+    v = _positive.forward(params["raw_variance"])
+    return v * jnp.sum(x * x, axis=-1)

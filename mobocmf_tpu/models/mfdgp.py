@@ -1,0 +1,402 @@
+"""MFDGP: multi-fidelity deep GP as a pure-functional JAX model.
+
+Re-design of /root/reference/mobocmf/models/mfdgp.py + layers/: one
+sparse-variational GP layer per fidelity, layer ell > 0 consuming
+[x, f_{ell-1}(x)] with the deep MF kernel, trained with the doubly-stochastic
+multi-fidelity ELBO.
+
+State is split three ways (the JAX-native replacement for the reference's
+stateful nn.Modules):
+- MFDGPParams   — trainable pytree (kernel raw params, variational means and
+                  Cholesky factors, raw likelihood noises).
+- MFDGPConsts   — non-trainable array pytree (inducing x-locations, the fixed
+                  eval-mode normals, per-fidelity noise-constraint bounds).
+                  Being arrays, these vmap over blackboxes.
+- MFDGPConfig   — hashable Python config (num fidelities, flags, jitter).
+
+Key semantics preserved from the reference:
+- Dynamic inducing points (MFDGUnwhitenedVariationalStrategy, layer file
+  :520-559): for ell > 0 the last column of Z_ell is the PREVIOUS layer's
+  posterior mean at the inducing x-locations, recomputed from the current
+  parameters. Here the whole chain is computed inside one jitted forward,
+  and gradients flow into previous layers' parameters through it.
+- Per-fidelity Gaussian likelihoods with Interval(1e-8, 0.1*y_std_f) noise
+  (mfdgp.py:113-123); top-layer noise init 1e-2*y_high_std, else 1e-6.
+- Nearest-same-fidelity-neighbor inducing values (mfdgp.py:290-317).
+- Variational init: mean = inducing values exactly; covariance =
+  K(Z)*(1e-2*y_high_std^2)^2 for the top layer else 1e-8*I
+  (mfdgp_hidden_layer.py:131-136).
+- Train-mode propagation samples fresh standard normals; eval-mode
+  (acquisition) uses the per-layer FIXED normals drawn at construction
+  (mfdgp_hidden_layer.py:159-163, 263-274), threaded here as explicit arrays.
+- predict_for_acquisition: 25x tiling + moment matching (mfdgp.py:237-262).
+- use_only_highest_fidelity ablation: per-layer independent GPs of x
+  (mfdgp_hidden_layer_only_hf.py), with per-layer inducing sets.
+
+Unlike the reference (which re-evaluates the inducing property and the Kzz
+Cholesky many times per step through gpytorch), one forward here computes
+each layer's Cholesky exactly once and shares it between the dynamic-Z chain,
+the data predictive, and the KL.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.linalg import solve_triangular
+
+from mobocmf_tpu.core import config as cfg
+from mobocmf_tpu.core.constraints import Interval
+from mobocmf_tpu.core.distances import median_lengthscale
+from mobocmf_tpu.kernels import deep_mf, rbf
+from mobocmf_tpu.linalg.ops import add_jitter, cholesky, tri_solve_lower
+from mobocmf_tpu.models import svgp
+
+Array = jnp.ndarray
+
+
+class TL(enum.Enum):
+    """Type of lengthscale init (reference mfdgp.py:15-18)."""
+
+    ONES = 1
+    MEDIAN = 2
+    CENTESIMAL = 3
+
+
+class MFDGPLayerParams(NamedTuple):
+    kernel: Dict
+    variational: svgp.SVGPVariational
+
+
+class MFDGPParams(NamedTuple):
+    layers: Tuple[MFDGPLayerParams, ...]
+    raw_noises: Array  # (F,)
+
+
+class MFDGPConsts(NamedTuple):
+    z_x: Tuple[Array, ...]  # per layer, (M_l, d)
+    acq_eps: Array  # (F, S) fixed eval-mode normals per layer
+    noise_lower: Array  # (F,)
+    noise_upper: Array  # (F,)
+
+
+class MFDGPConfig(NamedTuple):
+    num_fidelities: int
+    only_hf: bool
+    jitter: float
+    num_samples_for_acquisition: int
+
+
+class MFDGPModel(NamedTuple):
+    """Convenience bundle used by the object-level API (fitter, acquisitions)."""
+
+    params: MFDGPParams
+    consts: MFDGPConsts
+    config: MFDGPConfig
+
+
+def _layer_fns(layer_idx: int, only_hf: bool):
+    if layer_idx == 0:
+        return rbf.rbf_gram, rbf.rbf_diag
+    if only_hf:
+        return deep_mf.only_hf_gram, deep_mf.only_hf_diag
+    return deep_mf.deep_mf_gram, deep_mf.deep_mf_diag
+
+
+def likelihood_noise(
+    params: MFDGPParams, consts: MFDGPConsts, layer: int
+) -> Array:
+    iv = Interval(consts.noise_lower[layer], consts.noise_upper[layer])
+    return iv.forward(params.raw_noises[layer])
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def get_init_lengthscale(type_lengthscale: TL, inputs: Array) -> Array:
+    """Reference mfdgp.py:137-151."""
+    d = inputs.shape[1]
+    if type_lengthscale == TL.ONES:
+        return jnp.ones((d,), dtype=inputs.dtype)
+    if type_lengthscale == TL.MEDIAN:
+        return median_lengthscale(inputs)
+    if type_lengthscale == TL.CENTESIMAL:
+        return 0.01 * jnp.ones((d,), dtype=inputs.dtype)
+    raise ValueError("Wrong type of lengthscale.")
+
+
+def find_good_initial_inducing_points_and_values(
+    x_train: Array, y_train: Array, fidelities: Array, layer: int, only_hf: bool
+) -> Tuple[Array, Array]:
+    """Nearest-same-fidelity-neighbor inducing init (reference mfdgp.py:290-317).
+
+    Returns (z_x, values): the x-locations and, per location, the target of the
+    closest training point of this layer's fidelity.
+    """
+    fid = fidelities.reshape(-1)
+    sel = fid == layer
+    x_fid = x_train[sel]
+    y_fid = y_train.reshape(-1)[sel]
+    z_x = x_train[sel] if only_hf else x_train
+    d2 = (
+        jnp.sum(z_x**2, 1, keepdims=True)
+        - 2.0 * z_x @ x_fid.T
+        + jnp.sum(x_fid**2, 1, keepdims=True).T
+    )
+    nearest = jnp.argmin(d2, axis=1)
+    return z_x, y_fid[nearest]
+
+
+def init_mfdgp(
+    key: jax.Array,
+    x_train: Array,
+    y_train: Array,
+    fidelities: Array,
+    num_fidelities: int,
+    type_lengthscale: TL = TL.MEDIAN,
+    num_samples_for_acquisition: int = cfg.NUM_SAMPLES_FOR_ACQUISITION,
+    use_only_highest_fidelity: bool = False,
+    jitter: Optional[float] = None,
+    previously_trained: Optional[MFDGPModel] = None,
+) -> MFDGPModel:
+    """Build a functional MFDGP for one blackbox."""
+    x_train = jnp.asarray(x_train)
+    y_train = jnp.asarray(y_train).reshape(-1, 1).astype(x_train.dtype)
+    fid = jnp.asarray(fidelities).reshape(-1)
+    dtype = x_train.dtype
+    if jitter is None:
+        jitter = cfg.default_jitter(dtype)
+
+    y_high = y_train.reshape(-1)[fid == num_fidelities - 1]
+    y_high_std = float(np.std(np.asarray(y_high)))
+
+    layers: List[MFDGPLayerParams] = []
+    z_xs: List[Array] = []
+    noise_lower: List[float] = []
+    noise_upper: List[float] = []
+    raw_noises: List[Array] = []
+
+    for ell in range(num_fidelities):
+        z_x, values = find_good_initial_inducing_points_and_values(
+            x_train, y_train, fid, ell, use_only_highest_fidelity
+        )
+        z_xs.append(z_x)
+        init_ls = get_init_lengthscale(type_lengthscale, x_train[fid == ell])
+        d = x_train.shape[1]
+
+        if previously_trained is not None:
+            # warm start: restore kernel state (reference mfdgp_hidden_layer.py:122-123)
+            kparams = jax.tree.map(lambda a: a, previously_trained.params.layers[ell].kernel)
+        elif ell == 0:
+            kparams = rbf.init_scale_rbf_params(init_ls, 1.0, d)
+        elif use_only_highest_fidelity:
+            kparams = deep_mf.init_only_hf_params(init_ls, d)
+        else:
+            kparams = deep_mf.init_deep_mf_params(init_ls, d)
+        kparams = jax.tree.map(lambda a: jnp.asarray(a, dtype=dtype), kparams)
+
+        # Variational init (reference mfdgp_hidden_layer.py:131-136); for
+        # layers > 0 the init Z includes the values column (the static last
+        # column before the dynamic chain takes over).
+        m0 = values.astype(dtype)
+        if ell == num_fidelities - 1:
+            gram, _ = _layer_fns(ell, use_only_highest_fidelity)
+            z_full = z_x if ell == 0 else jnp.concatenate([z_x, values[:, None]], 1)
+            k0 = gram(kparams, z_full, z_full) + jitter * jnp.eye(z_x.shape[0], dtype=dtype)
+            cov0 = k0 * (1e-2 * y_high_std**2) ** 2
+        else:
+            cov0 = 1e-8 * jnp.eye(z_x.shape[0], dtype=dtype)
+        variational = svgp.init_variational(m0, cov0, dtype=dtype)
+        layers.append(MFDGPLayerParams(kernel=kparams, variational=variational))
+
+        # per-fidelity likelihood (reference mfdgp.py:113-123)
+        y_std_f = float(np.std(np.asarray(y_train.reshape(-1)[fid == ell])))
+        lo, up = 1e-8, 0.1 * y_std_f
+        noise_lower.append(lo)
+        noise_upper.append(up)
+        init_noise = 1e-2 * y_high_std if ell == num_fidelities - 1 else 1e-6
+        raw_noises.append(Interval(lo, up).inverse(jnp.asarray(init_noise, dtype=dtype)))
+
+    if previously_trained is not None:
+        acq_eps = previously_trained.consts.acq_eps
+    else:
+        acq_eps = jax.random.normal(
+            key, (num_fidelities, num_samples_for_acquisition), dtype=dtype
+        )
+
+    params = MFDGPParams(layers=tuple(layers), raw_noises=jnp.stack(raw_noises))
+    consts = MFDGPConsts(
+        z_x=tuple(z_xs),
+        acq_eps=acq_eps,
+        noise_lower=jnp.asarray(noise_lower, dtype=dtype),
+        noise_upper=jnp.asarray(noise_upper, dtype=dtype),
+    )
+    config = MFDGPConfig(
+        num_fidelities=num_fidelities,
+        only_hf=use_only_highest_fidelity,
+        jitter=float(jitter),
+        num_samples_for_acquisition=num_samples_for_acquisition,
+    )
+    return MFDGPModel(params=params, consts=consts, config=config)
+
+
+# ---------------------------------------------------------------------------
+# Forward / predictive
+# ---------------------------------------------------------------------------
+
+
+class LayerState(NamedTuple):
+    """Per-layer cached inducing state for one forward pass."""
+
+    z: Array  # (M, d) or (M, d+1)
+    lk: Array  # chol(Kzz + jitter I)
+
+
+def _cho_solve_vec(lk: Array, b: Array) -> Array:
+    y = solve_triangular(lk, b[:, None], lower=True)
+    return solve_triangular(lk.T, y, lower=False)[:, 0]
+
+
+def compute_layer_states(
+    params: MFDGPParams, consts: MFDGPConsts, config: MFDGPConfig
+) -> List[LayerState]:
+    """Resolve the dynamic inducing-point chain once per forward.
+
+    Z_0 = z_x; Z_ell = [z_x, mu_{ell-1}(Z_{ell-1})] where mu is the previous
+    layer's predictive mean at its own inducing inputs — exactly what the
+    reference's property computes (previous_layer(Z_x).mean,
+    mfdgp_hidden_layer.py:550-557), since the test x-columns coincide with the
+    inducing x-columns. Predictive mean at the inducing inputs reduces to
+    m - jitter * (Kzz + jitter I)^{-1} m.
+    """
+    states: List[LayerState] = []
+    chain_mean = None
+    for ell in range(config.num_fidelities):
+        gram, _ = _layer_fns(ell, config.only_hf)
+        lp = params.layers[ell]
+        z_x = consts.z_x[ell]
+        if ell == 0:
+            z = z_x
+        else:
+            if config.only_hf:
+                last_col = jnp.zeros((z_x.shape[0],), dtype=z_x.dtype)
+            else:
+                last_col = chain_mean
+            z = jnp.concatenate([z_x, last_col[:, None]], axis=1)
+        kzz = add_jitter(gram(lp.kernel, z, z), config.jitter)
+        lk = cholesky(kzz)
+        states.append(LayerState(z=z, lk=lk))
+        if ell + 1 < config.num_fidelities and not config.only_hf:
+            m = lp.variational.mean
+            chain_mean = m - config.jitter * _cho_solve_vec(lk, m)
+    return states
+
+
+def forward(
+    params: MFDGPParams,
+    consts: MFDGPConsts,
+    config: MFDGPConfig,
+    x: Array,
+    eps: Array,
+    max_fidelity: Optional[int] = None,
+    states: Optional[List[LayerState]] = None,
+) -> List[Tuple[Array, Array]]:
+    """Propagate x through the layer stack (reference mfdgp.py:174-196).
+
+    eps: (F-1, N) standard normals used to sample each layer's output before
+    feeding the next layer (fresh in train mode, fixed/tiled in eval mode —
+    supplied explicitly by the caller). Returns [(mu, var)] per layer.
+    """
+    num_layers = config.num_fidelities if max_fidelity is None else max_fidelity + 1
+    if states is None:
+        states = compute_layer_states(params, consts, config)
+    outputs: List[Tuple[Array, Array]] = []
+    f_prev = None
+    for ell in range(num_layers):
+        gram, diag = _layer_fns(ell, config.only_hf)
+        lp = params.layers[ell]
+        st = states[ell]
+        if ell == 0:
+            x_in = x
+        else:
+            prev = jnp.zeros_like(f_prev) if config.only_hf else f_prev
+            x_in = jnp.concatenate([x, prev[:, None]], axis=1)
+        mu, var, _ = svgp.predict_diag(
+            gram, diag, lp.kernel, lp.variational, st.z, x_in, config.jitter, lk=st.lk
+        )
+        outputs.append((mu, var))
+        if ell + 1 < num_layers:
+            f_prev = mu + jnp.sqrt(var) * eps[ell]
+    return outputs
+
+
+def kl_all_layers(
+    params: MFDGPParams,
+    consts: MFDGPConsts,
+    config: MFDGPConfig,
+    states: Optional[List[LayerState]] = None,
+) -> Array:
+    if states is None:
+        states = compute_layer_states(params, consts, config)
+    total = jnp.asarray(0.0, dtype=consts.z_x[0].dtype)
+    for ell in range(config.num_fidelities):
+        gram, _ = _layer_fns(ell, config.only_hf)
+        lp = params.layers[ell]
+        total = total + svgp.kl_divergence(
+            gram, lp.kernel, lp.variational, states[ell].z, config.jitter, lk=states[ell].lk
+        )
+    return total
+
+
+def predict(
+    params: MFDGPParams,
+    consts: MFDGPConsts,
+    config: MFDGPConfig,
+    x: Array,
+    fidelity: int,
+    eps: Array,
+) -> Tuple[Array, Array]:
+    """Predictive with likelihood noise at the given fidelity
+    (reference mfdgp.py:220-235)."""
+    outs = forward(params, consts, config, x, eps, max_fidelity=fidelity)
+    mu, var = outs[fidelity]
+    noise = likelihood_noise(params, consts, fidelity)
+    return mu, var + noise
+
+
+def predict_for_acquisition(
+    params: MFDGPParams, consts: MFDGPConsts, config: MFDGPConfig, x: Array, fidelity: int
+) -> Tuple[Array, Array]:
+    """25x-tiled eval-mode predictive + moment matching (mfdgp.py:237-262).
+
+    Deterministic: uses the fixed per-layer acq_eps normals, which keeps the
+    acquisition surface smooth for gradient-based candidate optimization.
+    """
+    n = x.shape[0]
+    s = config.num_samples_for_acquisition
+    x_tile = jnp.repeat(x, s, axis=0)  # row n*s + i
+    if config.num_fidelities > 1:
+        # layer ell (>0) uses its fixed acq_eps tiled across test points
+        eps = jnp.tile(consts.acq_eps[1:, :], (1, n))
+    else:
+        eps = jnp.zeros((0, n * s), dtype=x.dtype)
+    mus_t, vars_t = predict(params, consts, config, x_tile, fidelity, eps)
+    mus_t = mus_t.reshape(n, s)
+    vars_t = vars_t.reshape(n, s)
+    mus = jnp.mean(mus_t, axis=1)
+    second = jnp.mean(vars_t + mus_t**2, axis=1)
+    return mus, second - mus**2
+
+
+def sample_eps(key: jax.Array, config: MFDGPConfig, n: int, dtype) -> Array:
+    """Fresh train-mode propagation normals, shape (F-1, n)."""
+    f = max(config.num_fidelities - 1, 0)
+    if f == 0:
+        return jnp.zeros((0, n), dtype=dtype)
+    return jax.random.normal(key, (f, n), dtype=dtype)
