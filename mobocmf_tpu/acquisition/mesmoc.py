@@ -1,0 +1,142 @@
+"""MESMOC acquisition over MFGP models.
+
+Re-implements /root/reference/mobocmf/acquisition_functions/MESMOC_MFGP.py:
+max-value entropy search with constraints. For objectives, the truncated-
+Gaussian entropy reduction given the best value y*:
+
+    a(x) = clamp( 0.5 log(sigma^2 + sigma_n^2) - 0.5 log(sigma_trunc^2 + sigma_n^2), 0 )
+    sigma_trunc^2 = sigma^2 * clamp(1 + (g - r) r, CLAMP_LB),
+    g = (y* - mu)/sigma,  r = pdf(g) / (1 - cdf(g))
+
+For constraints, the feasibility probability 1 - Phi((t - mu)/sigma).
+Coupled acquisition = (sum of objective entropies) * (product of constraint
+feasibility probabilities at the HIGHEST fidelity) (:118-130). Fidelity
+selection is cost-normalized like JESMOC (:132-157).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.stats import norm
+
+from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
+from mobocmf_tpu.models import mfgp as G
+
+Array = jnp.ndarray
+
+CLAMP_LB = float(np.finfo(np.float32).eps)  # reference :19
+
+
+class _MES_MFGP:
+    def __init__(self, fidelity: int, model: G.MFGPModel, best_value: float, is_constraint: bool):
+        self.fidelity = fidelity
+        self.model = model
+        self.best_value = float(best_value)
+        self.is_constraint = is_constraint
+        self._jit_forward = jax.jit(self._forward_impl)
+
+    def _forward_impl(self, x: Array) -> Array:
+        mean, var = G.predict(self.model, x, self.fidelity)
+        std = jnp.sqrt(var)
+        g = (self.best_value - mean) / std
+        cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
+        if self.is_constraint:
+            # P(c(x) >= threshold)
+            return 1.0 - cdf
+        pdf = jnp.exp(norm.logpdf(g))
+        ratio = pdf / (1.0 - cdf)
+        var_trunc = var * jnp.maximum(1.0 + (g - ratio) * ratio, CLAMP_LB)
+        sigma_n = G.noise(self.model.params)
+        ent_cond = 0.5 * jnp.log(var_trunc + sigma_n)
+        ent_uncond = 0.5 * jnp.log(var + sigma_n)
+        return jnp.clip(ent_uncond - ent_cond, min=0.0)
+
+    def __call__(self, x: Array) -> Array:
+        if x.ndim > 2:
+            x = x[:, 0, :]
+        return self._jit_forward(x)
+
+
+class MESMOC_MFGP:
+    def __init__(
+        self,
+        objectives: Dict[str, G.MFGPModel],
+        constraints: Dict[str, G.MFGPModel],
+        input_dim: int,
+        num_fidelities: int,
+        best_objective_values: Dict[str, float],
+        constraint_thresholds: Dict[str, float],
+        standard_bounds=None,
+        seed: int = 0,
+    ):
+        self.standard_bounds = standard_bounds
+        self.num_fidelities = num_fidelities
+        self.input_dim = input_dim
+        self.objectives = objectives
+        self.constraints = constraints
+        self.best_objective_values = best_objective_values
+        self.constraint_thresholds = constraint_thresholds
+        self.key = jax.random.key(seed)
+
+        self.acquisition_objs: Dict[int, Dict[str, _MES_MFGP]] = {}
+        self.acquisition_cons: Dict[int, Dict[str, _MES_MFGP]] = {}
+        self.costs_blackboxes: Dict[int, Dict[str, float]] = {}
+        for n_f in range(num_fidelities):
+            self.acquisition_objs[n_f] = {}
+            self.acquisition_cons[n_f] = {}
+            self.costs_blackboxes[n_f] = {"total": 0.0}
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def add_blackbox(
+        self, fidelity: int, blackbox_name: str, cost_evaluation: float = 1.0,
+        is_constraint: bool = False,
+    ) -> _MES_MFGP:
+        if not is_constraint:
+            mes = _MES_MFGP(
+                fidelity, self.objectives[blackbox_name],
+                self.best_objective_values[blackbox_name], False,
+            )
+            self.acquisition_objs[fidelity][blackbox_name] = mes
+            self.costs_blackboxes[fidelity]["total"] += cost_evaluation
+            self.costs_blackboxes[fidelity][blackbox_name] = cost_evaluation
+        else:
+            mes = _MES_MFGP(
+                fidelity, self.constraints[blackbox_name],
+                self.constraint_thresholds[blackbox_name], True,
+            )
+            self.acquisition_cons[fidelity][blackbox_name] = mes
+        return mes
+
+    def coupled_acq(self, x: Array, fidelity: int) -> Array:
+        acq = jnp.zeros((x.shape[0],), dtype=x.dtype)
+        for a in self.acquisition_objs[fidelity].values():
+            acq = acq + a(x)
+        prob = jnp.ones((x.shape[0],), dtype=x.dtype)
+        for a in self.acquisition_cons[self.num_fidelities - 1].values():
+            prob = prob * a(x)
+        return acq * prob
+
+    def get_nextpoint_coupled(self, iteration=None, verbose=False):
+        best_weighted, best_x, best_fid = None, None, 0
+        for fidelity in range(self.num_fidelities):
+            x_f, value = optimize_acqf_box(
+                lambda xx: self.coupled_acq(xx, fidelity), self.input_dim,
+                self._next_key(), num_restarts=5, raw_samples=200, maxiter=200,
+            )
+            weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
+            if fidelity == 0 or weighted > best_weighted:
+                best_weighted, best_x, best_fid = weighted, x_f, fidelity
+        if verbose:
+            print(
+                f"Iter: {iteration} Acquisition: "
+                f"{best_weighted * self.costs_blackboxes[best_fid]['total']} "
+                f"Evaluating fidelity {best_fid} at {best_x}"
+            )
+        return best_x, best_fid

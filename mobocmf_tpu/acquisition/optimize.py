@@ -1,0 +1,95 @@
+"""On-device multi-start acquisition maximization over the unit box.
+
+Replaces botorch.optim.optimize_acqf(q=1, num_restarts=5, raw_samples=200,
+options={"maxiter": 200}) as used by the reference acquisitions
+(/root/reference/mobocmf/acquisition_functions/JESMOC_MFDGP.py:159-160).
+
+Strategy (everything jitted, one dispatch per call):
+1. evaluate the acquisition at `raw_samples` uniform points;
+2. take the top `num_restarts` as starts (botorch uses Boltzmann sampling over
+   the raw values; we pick the top-k deterministically — documented deviation);
+3. run L-BFGS (optax) in an unconstrained reparameterization x = sigmoid(z)
+   of the box, vmapped over restarts (botorch runs L-BFGS-B per restart);
+4. return the best point seen (clipped to the box).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Array = jnp.ndarray
+
+
+def _logit(x: Array) -> Array:
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    return jnp.log(x) - jnp.log1p(-x)
+
+
+def optimize_acqf_box(
+    acq_fn: Callable[[Array], Array],
+    input_dim: int,
+    key: jax.Array,
+    num_restarts: int = 5,
+    raw_samples: int = 200,
+    maxiter: int = 200,
+    dtype=jnp.float64,
+) -> Tuple[Array, Array]:
+    """Maximize acq_fn (batched: (N,d)->(N,)) over [0,1]^d.
+
+    Returns (x_best (d,), value_best ())."""
+
+    raw = jax.random.uniform(key, (raw_samples, input_dim), dtype=dtype)
+    raw_vals = acq_fn(raw)
+    _, top_idx = jax.lax.top_k(raw_vals, num_restarts)
+    starts = raw[top_idx]
+
+    def neg_acq_z(z):
+        x = jax.nn.sigmoid(z)
+        return -acq_fn(x[None, :])[0]
+
+    solver = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(neg_acq_z)
+
+    def run_one(z0):
+        def step(carry, _):
+            z, state = carry
+            value, grad = value_and_grad(z, state=state)
+            updates, state = solver.update(
+                grad, state, z, value=value, grad=grad, value_fn=neg_acq_z
+            )
+            z = optax.apply_updates(z, updates)
+            return (z, state), None
+
+        state0 = solver.init(z0)
+        (z, _), _ = jax.lax.scan(step, (z0, state0), None, length=maxiter)
+        x = jax.nn.sigmoid(z)
+        return x, acq_fn(x[None, :])[0]
+
+    xs, vals = jax.vmap(run_one)(_logit(starts))
+    # include the raw screening values so a failed line search can't regress
+    all_x = jnp.concatenate([xs, starts], axis=0)
+    all_v = jnp.concatenate([vals, raw_vals[top_idx]], axis=0)
+    best = jnp.argmax(all_v)
+    return all_x[best], all_v[best]
+
+
+def optimize_acqf_box_jit(
+    acq_fn, input_dim, key, num_restarts=5, raw_samples=200, maxiter=200, dtype=jnp.float64
+):
+    f = jax.jit(
+        partial(
+            optimize_acqf_box,
+            acq_fn,
+            input_dim,
+            num_restarts=num_restarts,
+            raw_samples=raw_samples,
+            maxiter=maxiter,
+            dtype=dtype,
+        )
+    )
+    return f(key)

@@ -1,0 +1,246 @@
+"""Pareto-conditioned MFDGP retraining (JES theta/omega factors).
+
+Re-implements /root/reference/mobocmf/util/blackbox_mfdgp_fitter.py:227-348:
+after sampling a Pareto solution (set X*, front F*), all objective and
+constraint models are retrained JOINTLY (one Adam over every model's
+variational parameters; kernel hypers + noises frozen via
+fix_variational_hypers_cond) on the loss
+
+    sum_obj [ -ELBO_o * N/B  - data_term(X* -> F*_o at top fidelity, no KL) ]
+  + sum_con [ -ELBO_c * N/B  - theta_c(X*) ]
+  - omega(x_tilde)
+
+with, per iteration, 10 FRESH uniform x_tilde points (reference :277), and
+
+    theta_c  = sum_p log[ (1-eps)^Phi(g) * eps^(1-Phi(g)) ],
+               g = (mu_c(x*_p) - t_c) / sd_c(x*_p)                     (:227-233)
+    omega    = sum_{p,j} log[ eps^q * (1-eps)^(1-q) ],
+               q = prod_c Phi(g_c(x_j)) * prod_k Phi(g*_{p,k}(x_j)),
+               g*_{p,k} = (F*_{p,k} - mu_k(x_j)) / sd_k(x_j)            (:235-243)
+
+The whole conditioned phase is one jitted lax.scan; objective and constraint
+models are stacked pytrees processed with vmap. Padded (invalid) Pareto rows
+are masked out of the theta/omega sums.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.scipy.stats import norm
+
+from mobocmf_tpu.fit import trainer
+from mobocmf_tpu.mlls.elbo import elbo_terms, elbo_data_term
+from mobocmf_tpu.models import mfdgp as M
+
+Array = jnp.ndarray
+
+NUM_OMEGA_POINTS = 10  # reference :277
+
+
+def loss_theta_factors(
+    cs_mean: Array, cs_var: Array, threshold: Array, eps: float, mask: Array
+) -> Array:
+    """Reference :227-233, masked over padded Pareto rows."""
+    gamma = (cs_mean - threshold) / jnp.sqrt(cs_var)
+    cdf = norm.cdf(gamma)
+    per_point = math.log(1.0 - eps) * cdf + math.log(eps) * (1.0 - cdf)
+    return jnp.sum(jnp.where(mask, per_point, 0.0))
+
+
+def loss_omega_factors(
+    fs_mean: Array,  # (K, J) objective means at x_tilde
+    fs_var: Array,
+    cs_mean: Array,  # (C, J)
+    cs_var: Array,
+    thresholds: Array,  # (C,)
+    pareto_front: Array,  # (P, K)
+    front_mask: Array,  # (P,)
+    eps: float,
+) -> Array:
+    """Reference :235-243, masked over padded Pareto rows."""
+    gamma_c = (cs_mean - thresholds[:, None]) / jnp.sqrt(cs_var)  # (C, J)
+    gamma_f = (pareto_front[:, :, None] - fs_mean[None, :, :]) / jnp.sqrt(
+        fs_var[None, :, :]
+    )  # (P, K, J)
+    prob_feas = jnp.prod(norm.cdf(gamma_c), axis=0)  # (J,)
+    prob_dom = jnp.prod(norm.cdf(gamma_f), axis=1)  # (P, J)
+    q = prob_feas[None, :] * prob_dom  # (P, J)
+    per = math.log(eps) * q + math.log(1.0 - eps) * (1.0 - q)
+    return jnp.sum(jnp.where(front_mask[:, None], per, 0.0))
+
+
+class ConditionedData(NamedTuple):
+    x: Array  # (N, d)
+    ys_obj: Array  # (O, N)
+    ys_con: Array  # (C, N)
+    fidelities: Array  # (N,)
+    pareto_set: Array  # (P, d)
+    pareto_front: Array  # (P, O)
+    front_mask: Array  # (P,)
+    thresholds: Array  # (C,)
+
+
+def _model_top_moments(params, consts, config, x, eps):
+    outs = M.forward(params, consts, config, x, eps)
+    return outs[config.num_fidelities - 1]
+
+
+def conditioned_loss(
+    obj_params,  # stacked (O, ...)
+    con_params,  # stacked (C, ...)
+    obj_consts,
+    con_consts,
+    config: M.MFDGPConfig,
+    data: ConditionedData,
+    key: jax.Array,
+    eps_const: float,
+    batch_idx: Array,
+    batch_w: Array,
+) -> Array:
+    n = data.x.shape[0]
+    b = batch_idx.shape[0]
+    p = data.pareto_set.shape[0]
+    num_obj = data.ys_obj.shape[0]
+    num_con = data.ys_con.shape[0]
+    dtype = data.x.dtype
+    fm1 = max(config.num_fidelities - 1, 0)
+
+    k_xt, k_rest = jax.random.split(key)
+    x_tilde = jax.random.uniform(k_xt, (NUM_OMEGA_POINTS, data.x.shape[1]), dtype=dtype)
+    keys = jax.random.split(k_rest, 6)
+
+    xb = data.x[batch_idx]
+    fb = data.fidelities[batch_idx]
+    top_fid = jnp.full((p,), config.num_fidelities - 1)
+
+    loss = jnp.asarray(0.0, dtype=dtype)
+
+    # ---- objectives ----
+    def obj_term(params_i, consts_i, y_i, front_i, eps_b, eps_p):
+        elbo, _ = elbo_terms(
+            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n, weights=batch_w
+        )
+        batch_count = jnp.sum(batch_w)
+        l = -elbo / batch_count * n
+        # pareto-front data term at top fidelity (no KL), masked rows weighted 0
+        dt = elbo_data_term(
+            params_i, consts_i, config, data.pareto_set, front_i, top_fid, eps_p,
+            weights=data.front_mask.astype(dtype),
+        )
+        return l - dt
+
+    eps_b_o = jax.random.normal(keys[0], (num_obj, fm1, b), dtype=dtype)
+    eps_p_o = jax.random.normal(keys[1], (num_obj, fm1, p), dtype=dtype)
+    obj_losses = jax.vmap(obj_term, in_axes=(0, trainer.CONSTS_AXES, 0, 1, 0, 0))(
+        obj_params, obj_consts, data.ys_obj, data.pareto_front, eps_b_o, eps_p_o
+    )
+    loss = loss + jnp.sum(obj_losses)
+
+    # ---- constraints ----
+    def con_term(params_i, consts_i, y_i, thr_i, eps_b, eps_p):
+        elbo, _ = elbo_terms(
+            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n, weights=batch_w
+        )
+        batch_count = jnp.sum(batch_w)
+        l = -elbo / batch_count * n
+        mu, var = _model_top_moments(params_i, consts_i, config, data.pareto_set, eps_p)
+        theta = loss_theta_factors(mu, var, thr_i, eps_const, data.front_mask)
+        return l - theta
+
+    if num_con > 0:
+        eps_b_c = jax.random.normal(keys[2], (num_con, fm1, b), dtype=dtype)
+        eps_p_c = jax.random.normal(keys[3], (num_con, fm1, p), dtype=dtype)
+        con_losses = jax.vmap(con_term, in_axes=(0, trainer.CONSTS_AXES, 0, 0, 0, 0))(
+            con_params, con_consts, data.ys_con, data.thresholds, eps_b_c, eps_p_c
+        )
+        loss = loss + jnp.sum(con_losses)
+
+    # ---- omega factors at x_tilde ----
+    eps_t_o = jax.random.normal(keys[4], (num_obj, fm1, NUM_OMEGA_POINTS), dtype=dtype)
+    fs_mean, fs_var = jax.vmap(
+        _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0)
+    )(obj_params, obj_consts, config, x_tilde, eps_t_o)
+    if num_con > 0:
+        eps_t_c = jax.random.normal(
+            keys[5], (num_con, fm1, NUM_OMEGA_POINTS), dtype=dtype
+        )
+        cs_mean, cs_var = jax.vmap(
+            _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0)
+        )(con_params, con_consts, config, x_tilde, eps_t_c)
+    else:
+        cs_mean = jnp.zeros((0, NUM_OMEGA_POINTS), dtype=dtype)
+        cs_var = jnp.ones((0, NUM_OMEGA_POINTS), dtype=dtype)
+    omega = loss_omega_factors(
+        fs_mean, fs_var, cs_mean, cs_var, data.thresholds,
+        data.pareto_front, data.front_mask, eps_const,
+    )
+    return loss - omega
+
+
+def train_conditioned(
+    obj_params,
+    con_params,
+    obj_consts,
+    con_consts,
+    config: M.MFDGPConfig,
+    data: ConditionedData,
+    key: jax.Array,
+    num_iters: int,
+    lr: float,
+    eps_const: float,
+    batch_size: int,
+):
+    """Joint conditioned training: one jitted scan over iterations.
+
+    The reference cycles each model's own shuffled DataLoader (:282-285); here
+    every model sees the same per-iteration minibatch (identical when
+    batch_size >= N, the examples' default)."""
+    n = data.x.shape[0]
+    bsz = min(batch_size, n)
+
+    mask_o = jax.vmap(trainer.mask_fix_cond)(obj_params)
+    mask_c = jax.vmap(trainer.mask_fix_cond)(con_params) if data.ys_con.shape[0] else con_params
+    opt = optax.adam(lr, eps=1e-8)
+
+    def loss_fn(ps, key, bidx, bw):
+        op, cp = ps
+        return conditioned_loss(
+            op, cp, obj_consts, con_consts, config, data, key, eps_const, bidx, bw
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def step(carry, key_i):
+        ps, opt_state = carry
+        kb, kl = jax.random.split(key_i)
+        if bsz == n:
+            bidx = jnp.arange(n)
+            bw = jnp.ones((n,), dtype=data.x.dtype)
+        else:
+            bidx = jax.random.choice(kb, n, (bsz,), replace=False)
+            bw = jnp.ones((bsz,), dtype=data.x.dtype)
+        loss, grads = grad_fn(ps, kl, bidx, bw)
+        grads = (
+            jax.tree.map(lambda g, m: g * m, grads[0], mask_o),
+            jax.tree.map(lambda g, m: g * m, grads[1], mask_c),
+        )
+        updates, opt_state = opt.update(grads, opt_state, ps)
+        ps = optax.apply_updates(ps, updates)
+        return (ps, opt_state), loss
+
+    ps = (obj_params, con_params)
+    opt_state = opt.init(ps)
+    keys = jax.random.split(key, num_iters)
+    (ps, _), losses = jax.lax.scan(step, (ps, opt_state), keys)
+    return ps[0], ps[1], losses
+
+
+train_conditioned_jit = jax.jit(
+    train_conditioned,
+    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size"),
+)

@@ -1,0 +1,303 @@
+"""BlackBoxMFDGPFitter: the training + conditioning engine.
+
+API-compatible re-design of /root/reference/mobocmf/util/blackbox_mfdgp_fitter.py.
+Holds one functional MFDGP per blackbox (objectives + constraints sharing the
+same x — coupled evaluation, like the reference asserts at :87-91), trains
+them with the two-phase schedule, samples a Pareto solution through MOOP over
+RFF pathwise samples, and retrains conditioned on it (theta/omega factors).
+
+Differences from the reference (same semantics, TPU-first execution):
+- models are stacked pytrees trained simultaneously under vmap, each phase a
+  single jitted scan (the reference loops models & epochs in Python);
+- copy_uncond is a trivial pytree copy (no deepcopy/eval-train dance);
+- the Pareto solution carries an explicit validity mask (static shapes).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.fit import conditioned as C
+from mobocmf_tpu.fit import trainer
+from mobocmf_tpu.models import mfdgp as M
+from mobocmf_tpu.models.mfdgp import TL
+from mobocmf_tpu.moop.moop import MOOP, NotFeasiblePoints, ParetoSolution
+from mobocmf_tpu.sampling import rff
+
+Array = jnp.ndarray
+
+MAX_TRIES_FOR_FEASIBLE_GRID = 50  # reference MFDGPHandler.MAX_TRIES_FOR_FEASIBLE_GRID
+
+
+class BlackBoxMFDGPFitter:
+    def __init__(
+        self,
+        num_fidelities: int,
+        batch_size: int,
+        lr_1: float = 0.003,
+        lr_2: float = 0.001,
+        num_epochs_1: int = 5000,
+        num_epochs_2: int = 15000,
+        pareto_set_size: int = 50,
+        opt_grid_size: int = 1000,
+        eps: float = 1e-8,
+        decoupled_evals: bool = False,
+        type_lengthscale: TL = TL.MEDIAN,
+        seed: int = 0,
+    ):
+        self.num_obj = 0
+        self.num_con = 0
+        self.models_uncond_trained = False
+
+        self.models_objs: Dict[str, M.MFDGPModel] = {}
+        self.models_cons: Dict[str, M.MFDGPModel] = {}
+        self.obj_names: List[str] = []
+        self.con_names: List[str] = []
+        self.thresholds_cons: List[float] = []
+
+        self.x_train: Optional[Array] = None
+        self.fidelities: Optional[Array] = None
+        self.ys_objs: List[Array] = []
+        self.ys_cons: List[Array] = []
+
+        self.num_fidelities = num_fidelities
+        self.batch_size = batch_size
+        self.lr_1, self.lr_2 = lr_1, lr_2
+        self.num_epochs_1, self.num_epochs_2 = num_epochs_1, num_epochs_2
+        self.pareto_set_size = pareto_set_size
+        self.opt_grid_size = opt_grid_size
+        self.eps = eps
+        self.decoupled_evals = decoupled_evals
+        self.type_lengthscale = type_lengthscale
+        self.key = jax.random.key(seed)
+
+        self.pareto_solution: Optional[ParetoSolution] = None
+        self.samples_objs = None
+        self.samples_cons = None
+
+    # -- setup -----------------------------------------------------------------
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    def initialize_mfdgp(
+        self,
+        x_train,
+        y_train,
+        fidelities,
+        blackbox_name: str,
+        threshold_constraint: float = 0.0,
+        is_constraint: bool = False,
+        previously_trained_model: Optional[M.MFDGPModel] = None,
+        use_only_highest_fidelity: bool = False,
+    ):
+        x_train = jnp.asarray(x_train)
+        y_train = jnp.asarray(y_train).reshape(-1, 1)
+        fidelities = jnp.asarray(fidelities).reshape(-1).astype(jnp.int32)
+        if self.x_train is None:
+            self.x_train = x_train
+            self.fidelities = fidelities
+        else:
+            assert jnp.array_equal(self.x_train, x_train), (
+                "The inputs for this new mfdgp do not match previous models; "
+                "coupled evaluation only (reference :87-91)."
+            )
+        model = M.init_mfdgp(
+            self._next_key(), x_train, y_train, fidelities, self.num_fidelities,
+            type_lengthscale=self.type_lengthscale,
+            use_only_highest_fidelity=use_only_highest_fidelity,
+            previously_trained=previously_trained_model,
+        )
+        if is_constraint:
+            self.models_cons[blackbox_name] = model
+            self.con_names.append(blackbox_name)
+            self.ys_cons.append(y_train.reshape(-1))
+            self.thresholds_cons.append(float(threshold_constraint))
+            self.num_con += 1
+        else:
+            self.models_objs[blackbox_name] = model
+            self.obj_names.append(blackbox_name)
+            self.ys_objs.append(y_train.reshape(-1))
+            self.num_obj += 1
+
+    # -- unconditioned training ---------------------------------------------------
+
+    def _train_group(self, names, models_dict, ys, label):
+        models = [models_dict[n] for n in names]
+        sp, sc, config = trainer.stack_models(models)
+        ys_arr = jnp.stack(ys)
+        nm = len(models)
+        fid = self.fidelities
+
+        for phase, (epochs, lr, mask_fn) in enumerate(
+            [
+                (self.num_epochs_1, self.lr_1, trainer.mask_fix_variational_hypers),
+                (self.num_epochs_2, self.lr_2, trainer.mask_all_free),
+            ]
+        ):
+            if epochs == 0:
+                continue
+            keys = jax.random.split(self._next_key(), nm)
+            mask = jax.vmap(mask_fn)(sp)
+            sp, logs = trainer.train_phase_stacked_jit(
+                sp, sc, config, self.x_train, ys_arr, fid, keys,
+                epochs, lr, mask, self.batch_size,
+            )
+            print(
+                f"[{label}] phase {phase + 1}: epochs={epochs} "
+                f"first/last neg-ELBO "
+                f"{np.asarray(logs.loss)[:, 0].sum():.4f} / "
+                f"{np.asarray(logs.loss)[:, -1].sum():.4f}"
+            )
+            sys.stdout.flush()
+
+        for i, n in enumerate(names):
+            models_dict[n] = models_dict[n]._replace(
+                params=jax.tree.map(lambda a, i=i: a[i], sp)
+            )
+
+    def train_mfdgps(self):
+        """Two-phase schedule (reference :154-176)."""
+        if self.num_obj:
+            self._train_group(self.obj_names, self.models_objs, self.ys_objs, "OBJ")
+        if self.num_con:
+            self._train_group(self.con_names, self.models_cons, self.ys_cons, "CON")
+        self.models_uncond_trained = True
+
+    # -- Pareto sampling -----------------------------------------------------------
+
+    def _sample_and_store_pareto_solution(self):
+        l_samples_objs = [
+            rff.sample_posterior(self._next_key(), m.params, m.consts, m.config)
+            for m in (self.models_objs[n] for n in self.obj_names)
+        ]
+        obj_fns = [partial(rff.eval_sample, s) for s in l_samples_objs]
+
+        global_optimizer = None
+        for _ in range(MAX_TRIES_FOR_FEASIBLE_GRID):
+            l_samples_cons = [
+                rff.sample_posterior(self._next_key(), m.params, m.consts, m.config)
+                for m in (self.models_cons[n] for n in self.con_names)
+            ]
+            con_fns = [partial(rff.eval_sample, s) for s in l_samples_cons]
+
+            global_optimizer = MOOP(
+                obj_fns,
+                con_fns,
+                input_dim=self.x_train.shape[1],
+                grid_size=self.opt_grid_size * self.x_train.shape[1],
+                pareto_set_size=self.pareto_set_size,
+                feasible_values=-1.0 * np.asarray(self.thresholds_cons),
+            )
+            res = global_optimizer.compute_pareto_solution_from_samples(
+                self.x_train, self._next_key()
+            )
+            if res is not None:
+                self.pareto_solution, _, _ = res
+                self.samples_objs = l_samples_objs
+                self.samples_cons = l_samples_cons
+                return self.pareto_solution
+        res = global_optimizer.compute_pareto_solution_from_samples(
+            self.x_train, self._next_key(), allow_negative_constraints=True
+        )
+        if res is not None:
+            self.pareto_solution, _, _ = res
+            self.samples_objs = l_samples_objs
+            self.samples_cons = l_samples_cons
+            return self.pareto_solution
+        raise NotFeasiblePoints(
+            "[ERROR] No feasible points were found in the constraint space! "
+            f"# tries: {MAX_TRIES_FOR_FEASIBLE_GRID}."
+        )
+
+    def sample_and_store_pareto_solution(self):
+        """Retry-forever wrapper (reference :219-225)."""
+        while True:
+            try:
+                return self._sample_and_store_pareto_solution()
+            except NotFeasiblePoints:
+                print("Not feasible solution found, trying another time!")
+                sys.stdout.flush()
+
+    @property
+    def pareto_set(self):
+        return self.pareto_solution.pareto_set
+
+    @property
+    def pareto_front(self):
+        return self.pareto_solution.pareto_front
+
+    # -- conditioned training -------------------------------------------------------
+
+    def train_conditioned_mfdgps(self):
+        assert self.pareto_solution is not None, "sample a Pareto solution first"
+        obj_models = [self.models_objs[n] for n in self.obj_names]
+        con_models = [self.models_cons[n] for n in self.con_names]
+        op, oc, config = trainer.stack_models(obj_models)
+        if con_models:
+            cp, cc, _ = trainer.stack_models(con_models)
+        else:
+            cp, cc = op, oc  # placeholders; num_con==0 branches skip them
+
+        dtype = self.x_train.dtype
+        data = C.ConditionedData(
+            x=self.x_train,
+            ys_obj=jnp.stack(self.ys_objs),
+            ys_con=jnp.stack(self.ys_cons) if self.ys_cons else jnp.zeros((0, self.x_train.shape[0]), dtype=dtype),
+            fidelities=self.fidelities,
+            pareto_set=self.pareto_solution.pareto_set,
+            pareto_front=self.pareto_solution.pareto_front,
+            front_mask=self.pareto_solution.mask,
+            thresholds=jnp.asarray(self.thresholds_cons, dtype=dtype),
+        )
+        op, cp, losses = C.train_conditioned_jit(
+            op, cp, oc, cc, config, data, self._next_key(),
+            self.num_epochs_2, self.lr_2, self.eps, self.batch_size,
+        )
+        print(
+            f"[COND] iters={self.num_epochs_2} first/last loss "
+            f"{float(losses[0]):.4f} / {float(losses[-1]):.4f}"
+        )
+        sys.stdout.flush()
+        for i, n in enumerate(self.obj_names):
+            self.models_objs[n] = self.models_objs[n]._replace(
+                params=jax.tree.map(lambda a, i=i: a[i], op)
+            )
+        for i, n in enumerate(self.con_names):
+            self.models_cons[n] = self.models_cons[n]._replace(
+                params=jax.tree.map(lambda a, i=i: a[i], cp)
+            )
+
+    # -- misc -------------------------------------------------------------------------
+
+    def copy_uncond(self) -> "BlackBoxMFDGPFitter":
+        """Functional snapshot (replaces the reference's deepcopy dance :370-397)."""
+        import copy as _copy
+
+        new = _copy.copy(self)
+        new.models_objs = {
+            k: v._replace(params=jax.tree.map(jnp.array, v.params))
+            for k, v in self.models_objs.items()
+        }
+        new.models_cons = {
+            k: v._replace(params=jax.tree.map(jnp.array, v.params))
+            for k, v in self.models_cons.items()
+        }
+        new.obj_names = list(self.obj_names)
+        new.con_names = list(self.con_names)
+        new.ys_objs = list(self.ys_objs)
+        new.ys_cons = list(self.ys_cons)
+        new.thresholds_cons = list(self.thresholds_cons)
+        return new
+
+    def get_model(self, name: str, is_constraint: bool = False) -> M.MFDGPModel:
+        if is_constraint:
+            return self.models_cons[name]
+        return self.models_objs[name]

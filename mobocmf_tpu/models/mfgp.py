@@ -1,0 +1,223 @@
+"""MFGP: exact multi-fidelity GP with the min-fidelity kernel.
+
+Re-design of /root/reference/mobocmf/models/mfgp.py: a single exact GP over
+augmented inputs [x, fidelity] with
+
+    K = k_signal(x, x') + min(fid, fid') * k_noise(x, x')
+
+(both Scale(RBF-ARD) with Interval constraints, outputscales init 1.0 / 0.1,
+median-heuristic lengthscales), a single Gaussian likelihood with noise init
+1e-1, zero mean. Includes pathwise RFF posterior sampling with the reference's
+per-fidelity feature masks (mfgp.py:88-141) and an NLML trainer (the reference
+delegates fitting to botorch; here it is an optax Adam loop on the exact
+marginal likelihood).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.scipy.linalg import solve_triangular
+
+from mobocmf_tpu.core.constraints import GreaterThan
+from mobocmf_tpu.core.distances import median_lengthscale
+from mobocmf_tpu.kernels import mf_exact
+from mobocmf_tpu.linalg.ops import add_jitter, cholesky, logdet_from_chol
+from mobocmf_tpu.models.mfdgp import TL
+
+Array = jnp.ndarray
+
+# gpytorch GaussianLikelihood default noise constraint
+_NOISE_CONSTRAINT = GreaterThan(1e-4)
+
+
+class MFGPParams(NamedTuple):
+    kernel: Dict
+    raw_noise: Array
+
+
+class MFGPModel(NamedTuple):
+    params: MFGPParams
+    x_train: Array  # (N, d+1) with fidelity last column
+    y_train: Array  # (N,)
+    num_fidelities: int
+    input_dim: int  # x dims (without fidelity)
+    jitter: float
+
+
+def init_mfgp(
+    x_train: Array,
+    y_train: Array,
+    num_fidelities: int,
+    type_lengthscale: TL = TL.MEDIAN,
+    jitter: float = 1e-8,
+) -> MFGPModel:
+    x_train = jnp.asarray(x_train)
+    y_train = jnp.asarray(y_train).reshape(-1)
+    input_dim = x_train.shape[1] - 1
+    init_ls = median_lengthscale(x_train[:, :input_dim])
+    kernel = mf_exact.init_mf_kernel_params(init_ls, input_dim)
+    kernel = jax.tree.map(lambda a: jnp.asarray(a, dtype=x_train.dtype), kernel)
+    raw_noise = _NOISE_CONSTRAINT.inverse(jnp.asarray(0.1, dtype=x_train.dtype))
+    return MFGPModel(
+        params=MFGPParams(kernel=kernel, raw_noise=raw_noise),
+        x_train=x_train,
+        y_train=y_train,
+        num_fidelities=num_fidelities,
+        input_dim=input_dim,
+        jitter=jitter,
+    )
+
+
+def noise(params: MFGPParams) -> Array:
+    return _NOISE_CONSTRAINT.forward(params.raw_noise)
+
+
+def nlml(params: MFGPParams, x: Array, y: Array, jitter: float) -> Array:
+    """Exact negative log marginal likelihood."""
+    n = x.shape[0]
+    k = mf_exact.mf_kernel_gram(params.kernel, x, x)
+    k = add_jitter(k, jitter) + noise(params) * jnp.eye(n, dtype=x.dtype)
+    l = cholesky(k)
+    alpha = solve_triangular(l, y[:, None], lower=True)
+    quad = jnp.sum(alpha**2)
+    return 0.5 * (quad + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
+
+
+def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPModel:
+    """Adam on the exact NLML (replaces botorch's fit loop)."""
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(params):
+        def step(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(nlml)(p, model.x_train, model.y_train, model.jitter)
+            updates, s = opt.update(g, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s), loss
+
+        (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
+        return p, losses
+
+    params, _ = run(model.params)
+    return model._replace(params=params)
+
+
+def predict(model: MFGPModel, x: Array, fidelity: int) -> Tuple[Array, Array]:
+    """Posterior latent mean/var at [x, fidelity] (reference mfgp.py:50-61).
+
+    Returns the noiseless predictive (gpytorch `self(x)` posterior)."""
+    if x.ndim > 2:
+        x = x[:, 0, :]
+    fid_col = jnp.full((x.shape[0], 1), float(fidelity), dtype=x.dtype)
+    x_aug = jnp.concatenate([x, fid_col], axis=1)
+    params = model.params
+    n = model.x_train.shape[0]
+    k_train = mf_exact.mf_kernel_gram(params.kernel, model.x_train, model.x_train)
+    k_train = add_jitter(k_train, model.jitter) + noise(params) * jnp.eye(
+        n, dtype=x.dtype
+    )
+    l = cholesky(k_train)
+    k_cross = mf_exact.mf_kernel_gram(params.kernel, model.x_train, x_aug)  # (N, M)
+    w = solve_triangular(l, k_cross, lower=True)
+    alpha = solve_triangular(l, model.y_train[:, None], lower=True)
+    mean = (w.T @ alpha)[:, 0]
+    k_diag = jnp.diagonal(mf_exact.mf_kernel_gram(params.kernel, x_aug, x_aug))
+    var = jnp.maximum(k_diag - jnp.sum(w * w, axis=0), 1e-12)
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# RFF pathwise sampling with per-fidelity feature masks (reference :88-141)
+# ---------------------------------------------------------------------------
+
+
+class MFGPSample(NamedTuple):
+    w_signal: Array
+    b_signal: Array
+    alpha_signal: Array
+    w_noise: Array
+    b_noise: Array
+    alpha_noise: Array
+    theta: Array  # ((num_fid) * F,) = signal block + (num_fid-1) noise blocks
+    fidelity: int
+    num_fidelities: int
+
+
+def sample_from_posterior(
+    key: jax.Array, model: MFGPModel, fidelity: int, n_features: int = 500
+) -> MFGPSample:
+    """Pathwise sample of the fidelity-`fidelity` process.
+
+    The noise features are tiled (num_fidelities - 1) times; block t is active
+    only for points whose fidelity is > t (the reference's mask zeroes the
+    first nFeatures*(F - fid - 1) rows, :110-116)."""
+    params = model.params
+    c = mf_exact.mf_kernel_constrained(params.kernel)
+    dtype = model.x_train.dtype
+    d = model.input_dim
+    x_data = model.x_train[:, :d]
+    fid_data = model.x_train[:, d]
+
+    kws, kbs, kwn, kbn, kth = jax.random.split(key, 5)
+    w_s = jax.random.normal(kws, (n_features, d), dtype=dtype) / c["signal_ls"]
+    b_s = jax.random.uniform(kbs, (n_features, 1), dtype=dtype, maxval=2 * jnp.pi)
+    w_n = jax.random.normal(kwn, (n_features, d), dtype=dtype) / c["noise_ls"]
+    b_n = jax.random.uniform(kbn, (n_features, 1), dtype=dtype, maxval=2 * jnp.pi)
+
+    def phi(x, w, b, alpha):
+        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(w @ x.T + b)
+
+    phi_s = phi(x_data, w_s, b_s, c["signal_os"])  # (F, N)
+    phi_n = phi(x_data, w_n, b_n, c["noise_os"])
+    nf1 = model.num_fidelities - 1
+    # mask[t*F : (t+1)*F, i] active iff F - fid_i - 1 <= t  (reference :112-113)
+    blocks = []
+    for t in range(nf1):
+        active = (model.num_fidelities - fid_data - 1) <= t
+        blocks.append(phi_n * active[None, :].astype(dtype))
+    phi_full = jnp.concatenate([phi_s] + blocks, axis=0)
+
+    sigma2 = noise(params)
+    a = phi_full @ phi_full.T + sigma2 * jnp.eye(phi_full.shape[0], dtype=dtype)
+    la = cholesky(a)
+    m = solve_triangular(
+        la.T, solve_triangular(la, phi_full @ model.y_train, lower=True), lower=False
+    )
+    a_inv = solve_triangular(
+        la.T, solve_triangular(la, jnp.eye(phi_full.shape[0], dtype=dtype), lower=True),
+        lower=False,
+    )
+    cov = sigma2 * a_inv
+    cov = cov + (1e-10 * jnp.mean(jnp.diag(cov))) * jnp.eye(cov.shape[0], dtype=dtype)
+    eps = jax.random.normal(kth, (phi_full.shape[0],), dtype=dtype)
+    theta = m + cholesky(cov) @ eps
+
+    return MFGPSample(
+        w_signal=w_s, b_signal=b_s, alpha_signal=jnp.asarray(c["signal_os"], dtype=dtype),
+        w_noise=w_n, b_noise=b_n, alpha_noise=jnp.asarray(c["noise_os"], dtype=dtype),
+        theta=theta, fidelity=fidelity, num_fidelities=model.num_fidelities,
+    )
+
+
+def eval_mfgp_sample(s: MFGPSample, x: Array) -> Array:
+    if x.ndim == 1:
+        x = x[None, :]
+    n_features = s.w_signal.shape[0]
+
+    def phi(x, w, b, alpha):
+        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(w @ x.T + b)
+
+    phi_s = phi(x, s.w_signal, s.b_signal, s.alpha_signal)
+    phi_n = phi(x, s.w_noise, s.b_noise, s.alpha_noise)
+    nf1 = s.num_fidelities - 1
+    blocks = []
+    for t in range(nf1):
+        active = 1.0 if (s.num_fidelities - s.fidelity - 1) <= t else 0.0
+        blocks.append(phi_n * active)
+    feats = jnp.concatenate([phi_s] + blocks, axis=0)
+    return s.theta @ feats

@@ -14,4 +14,6 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The env var alone is not enough when a TPU PJRT plugin (axon) is preloaded.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

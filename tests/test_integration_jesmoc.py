@@ -1,0 +1,98 @@
+"""End-to-end JESMOCMF pipeline smoke test.
+
+Mirrors /root/reference/examples/example_synthetic/example_synthetic_2D.py with
+the reference's fast settings (num_epochs_1=10, num_epochs_2=20,
+num_epochs_cond=10): fake blackboxes sampled from the MFDGP prior, two
+objectives + two constraints, unconditioned training, Pareto sampling,
+conditioned training, JES acquisition evaluation and candidate selection.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
+from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+from mobocmf_tpu.sampling import rff
+
+
+@pytest.fixture(scope="module")
+def problem():
+    key = jax.random.key(0)
+    d = 2
+    keys = jax.random.split(key, 4)
+    samples = [rff.sample_prior(k, d, 2) for k in keys]
+
+    rng = np.random.default_rng(0)
+    n_low, n_high = 10, 5
+    x_low = rng.uniform(size=(n_low, d))
+    x_high = rng.uniform(size=(n_high, d))
+    x = jnp.asarray(np.vstack([x_high, x_low]))
+    fid = jnp.asarray(np.concatenate([np.ones(n_high), np.zeros(n_low)]).astype(int))
+
+    ys = []
+    for s in samples:
+        y_low = np.asarray(rff.eval_sample(s, jnp.asarray(x_low), layer=0))
+        y_high = np.asarray(rff.eval_sample(s, jnp.asarray(x_high), layer=1))
+        y = np.concatenate([y_high, y_low])
+        mean, std = y.mean(), y.std()
+        ys.append(jnp.asarray((y - mean) / std))
+    return x, fid, ys, samples
+
+
+@pytest.fixture(scope="module")
+def trained_fitter(problem):
+    x, fid, ys, _ = problem
+    fitter = BlackBoxMFDGPFitter(
+        num_fidelities=2, batch_size=x.shape[0], num_epochs_1=10, num_epochs_2=20,
+        opt_grid_size=50, pareto_set_size=8,
+    )
+    fitter.initialize_mfdgp(x, ys[0], fid, "obj1", is_constraint=False)
+    fitter.initialize_mfdgp(x, ys[1], fid, "obj2", is_constraint=False)
+    fitter.initialize_mfdgp(x, ys[2], fid, "con1", threshold_constraint=0.0, is_constraint=True)
+    fitter.initialize_mfdgp(x, ys[3], fid, "con2", threshold_constraint=0.0, is_constraint=True)
+    fitter.train_mfdgps()
+    return fitter
+
+
+def test_unconditioned_training_runs(trained_fitter):
+    assert trained_fitter.models_uncond_trained
+    for name in ("obj1", "obj2"):
+        m = trained_fitter.get_model(name)
+        assert np.all(np.isfinite(np.asarray(m.params.raw_noises)))
+
+
+def test_full_jesmoc_pipeline(problem, trained_fitter):
+    x, fid, ys, _ = problem
+    fitter = trained_fitter
+    cond = fitter.copy_uncond()
+    solution = cond.sample_and_store_pareto_solution()
+    assert solution.num_valid >= 1
+    assert solution.pareto_set.shape[1] == 2
+    # front values must be finite on valid rows
+    front = np.asarray(solution.pareto_front)[np.asarray(solution.mask)]
+    assert np.all(np.isfinite(front))
+
+    cond.num_epochs_2 = 10
+    cond.train_conditioned_mfdgps()
+
+    jes = JESMOC_MFDGP(model=fitter, num_fidelities=2, model_cond=cond)
+    for f in range(2):
+        for name in ("obj1", "obj2"):
+            jes.add_blackbox(f, name, cost_evaluation=1.0 if f == 0 else 10.0)
+        for name in ("con1", "con2"):
+            jes.add_blackbox(f, name, cost_evaluation=1.0 if f == 0 else 10.0, is_constraint=True)
+
+    grid = jnp.asarray(np.random.default_rng(1).uniform(size=(13, 2)))
+    acq = jes.decoupled_acq(grid, fidelity=0, blackbox_name="obj1", is_constraint=False)
+    assert acq.shape == (13,)
+    assert np.all(np.asarray(acq) >= 0.0)  # clamped information gain
+
+    acq_coupled = jes.coupled_acq(grid, fidelity=1)
+    assert np.all(np.isfinite(np.asarray(acq_coupled)))
+
+    x_next, fid_next = jes.get_nextpoint_coupled(iteration=0, verbose=True)
+    assert x_next.shape == (2,)
+    assert 0 <= fid_next < 2
+    assert np.all((np.asarray(x_next) >= 0) & (np.asarray(x_next) <= 1))
