@@ -1,0 +1,217 @@
+"""Benchmark: MFDGP ELBO optimization steps/sec at m=128 inducing points.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- JAX side: the framework's jitted two-phase train step (full-batch ELBO,
+  2 fidelities, d=2, m=128 inducing) on the default backend (TPU under the
+  driver), f32.
+- Baseline: the same per-step math re-implemented in pure torch on CPU at
+  float64 — i.e. exactly what the reference computes per optimizer step
+  through gpytorch (unwhitened SVGP predictive + dynamic inducing chain +
+  multi-fidelity ELBO + Adam; /root/reference/mobocmf/util/
+  blackbox_mfdgp_fitter.py:154-176). gpytorch adds dispatch overhead on top,
+  so this baseline is conservative (the reference is slower than it).
+
+vs_baseline = jax_steps_per_sec / torch_cpu_steps_per_sec.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DATA = 128
+D = 2
+STEPS = 200
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(N_DATA, D))
+    y = np.sin(3 * x[:, 0]) + 0.3 * rng.normal(size=N_DATA)
+    fid = (np.arange(N_DATA) % 2).astype(np.int64)
+    return x, y, fid
+
+
+# ---------------------------------------------------------------------------
+# JAX / TPU side
+# ---------------------------------------------------------------------------
+
+
+def bench_jax():
+    import jax
+    import jax.numpy as jnp
+
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.models import mfdgp as M
+
+    x_np, y_np, fid_np = make_data()
+    dtype = jnp.float32
+    x = jnp.asarray(x_np, dtype=dtype)
+    y = jnp.asarray(y_np, dtype=dtype)
+    fid = jnp.asarray(fid_np)
+
+    model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2)
+    mask = trainer.mask_all_free(model.params)
+
+    args = (
+        model.params, model.consts, model.config, x, y, fid,
+        jax.random.key(1), STEPS, 0.001, mask, N_DATA,
+    )
+    # compile
+    out = trainer.train_phase_jit(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = trainer.train_phase_jit(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    sps = STEPS / dt
+    log(f"jax ({jax.default_backend()}): {sps:.1f} steps/s "
+        f"(final neg-ELBO {float(out[1].loss[-1]):.3f})")
+    return sps
+
+
+# ---------------------------------------------------------------------------
+# Pure-torch CPU baseline (reference-equivalent per-step math, float64)
+# ---------------------------------------------------------------------------
+
+
+def bench_torch():
+    import torch
+
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+    x_np, y_np, fid_np = make_data()
+    x = torch.from_numpy(x_np).double()
+    y = torch.from_numpy(y_np).double()
+    fid = torch.from_numpy(fid_np)
+    n = N_DATA
+    jitter = 2e-6
+
+    def softplus_inv(v):
+        return torch.log(torch.expm1(torch.as_tensor(v, dtype=torch.float64)))
+
+    # layer 0: scale*RBF(d); layer 1: deep MF kernel
+    p = {
+        "l0_ls": torch.full((D,), softplus_inv(0.5).item(), dtype=torch.float64),
+        "l0_os": softplus_inv(1.0).clone(),
+        "x1_ls": torch.full((D,), softplus_inv(5.0).item(), dtype=torch.float64),
+        "x1_os": softplus_inv(1.0).clone(),
+        "f_ls": softplus_inv(1.0).clone().reshape(1),
+        "f_os": softplus_inv(1.0).clone(),
+        "x2_ls": torch.full((D,), softplus_inv(0.5).item(), dtype=torch.float64),
+        "x2_os": softplus_inv(0.01).clone(),
+        "lin_v": softplus_inv(1.0).clone(),
+        "m0": y.clone(),
+        "m1": y.clone(),
+        "L0": torch.eye(n, dtype=torch.float64) * 1e-4,
+        "L1": torch.eye(n, dtype=torch.float64) * 1e-4,
+        "noise_raw": torch.zeros(2, dtype=torch.float64),
+    }
+    for v in p.values():
+        v.requires_grad_(True)
+
+    sp = torch.nn.functional.softplus
+
+    def rbf(x1, x2, ls, os_):
+        a, b = x1 / ls, x2 / ls
+        d2 = (a * a).sum(1, keepdim=True) - 2 * a @ b.T + (b * b).sum(1, keepdim=True).T
+        return sp(os_) * torch.exp(-0.5 * d2.clamp_min(0))
+
+    def deep_k(xf1, xf2):
+        x1, f1 = xf1[:, :D], xf1[:, D:]
+        x2, f2 = xf2[:, :D], xf2[:, D:]
+        kx1 = rbf(x1, x2, sp(p["x1_ls"]), p["x1_os"])
+        kf = rbf(f1, f2, sp(p["f_ls"]), p["f_os"])
+        klin = sp(p["lin_v"]) * (f1 @ f2.T)
+        kx2 = rbf(x1, x2, sp(p["x2_ls"]), p["x2_os"])
+        return kx1 * (klin + kf) + kx2
+
+    eye = torch.eye(n, dtype=torch.float64)
+    opt = torch.optim.Adam(list(p.values()), lr=0.001)
+
+    def step():
+        opt.zero_grad()
+        # layer 0 (Z = x)
+        k00 = rbf(x, x, sp(p["l0_ls"]), p["l0_os"]) + jitter * eye
+        l0 = torch.linalg.cholesky(k00)
+        w0 = torch.cholesky_solve(p["m0"].unsqueeze(1), l0)
+        chain = p["m0"] - jitter * w0[:, 0]
+        kzx0 = rbf(x, x, sp(p["l0_ls"]), p["l0_os"])
+        a0 = torch.cholesky_solve(kzx0, l0)
+        mu0 = a0.T @ p["m0"]
+        s0 = torch.tril(p["L0"])
+        b0 = s0.T @ a0
+        var0 = (sp(p["l0_os"]).expand(n) - (a0 * kzx0).sum(0) + (b0 * b0).sum(0)).clamp_min(1e-12)
+        # sample + layer 1 (dynamic Z last column = chain)
+        eps = torch.randn(n, dtype=torch.float64)
+        f_prev = mu0 + torch.sqrt(var0) * eps
+        z1 = torch.cat([x, chain.unsqueeze(1)], 1)
+        x1_in = torch.cat([x, f_prev.unsqueeze(1)], 1)
+        k11 = deep_k(z1, z1) + jitter * eye
+        l1 = torch.linalg.cholesky(k11)
+        kzx1 = deep_k(z1, x1_in)
+        a1 = torch.cholesky_solve(kzx1, l1)
+        mu1 = a1.T @ p["m1"]
+        s1 = torch.tril(p["L1"])
+        b1 = s1.T @ a1
+        diag1 = torch.diagonal(deep_k(x1_in, x1_in))
+        var1 = (diag1 - (a1 * kzx1).sum(0) + (b1 * b1).sum(0)).clamp_min(1e-12)
+        # ELBO
+        noises = 1e-8 + (0.1 - 1e-8) * torch.sigmoid(p["noise_raw"])
+        data = 0.0
+        for i, (mu, var) in enumerate([(mu0, var0), (mu1, var1)]):
+            sel = fid == i
+            ll = -0.5 * (
+                torch.log(2 * torch.pi * noises[i])
+                + ((y[sel] - mu[sel]) ** 2 + var[sel]) / noises[i]
+            )
+            data = data + ll.sum()
+        kl = 0.0
+        for l, s, m in [(l0, s0, p["m0"]), (l1, s1, p["m1"])]:
+            w = torch.linalg.solve_triangular(l, s, upper=False)
+            lm = torch.linalg.solve_triangular(l, m.unsqueeze(1), upper=False)
+            kl = kl + 0.5 * (
+                (w * w).sum() + (lm * lm).sum() - n
+                + 2 * torch.log(torch.diagonal(l)).sum()
+                - 2 * torch.log(torch.diagonal(s).abs()).sum()
+            )
+        loss = -(data - kl)
+        loss.backward()
+        opt.step()
+        return loss
+
+    step()  # warmup
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        loss = step()
+    dt = time.perf_counter() - t0
+    sps = n_steps / dt
+    log(f"torch CPU f64 baseline: {sps:.1f} steps/s (loss {float(loss):.3f})")
+    return sps
+
+
+def main():
+    torch_sps = bench_torch()
+    jax_sps = bench_jax()
+    print(
+        json.dumps(
+            {
+                "metric": "MFDGP ELBO steps/sec (m=128 inducing)",
+                "value": round(jax_sps, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(jax_sps / torch_sps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Cost-aware JESMOCMF outer BO loop.
+
+The reference keeps its BO loop inside example scripts
+(/root/reference/examples/toy_synthetic_2D_JESMOCMF/toy_synthetic_2D_JESMOCMF.py:305-462);
+here it is a library component: per iteration, (re)build and train the
+fitter from scratch (the reference retrains every iteration, warm start
+commented out, toy:333-357), sample a Pareto solution, train the conditioned
+models, maximize the cost-normalized coupled JES acquisition, evaluate the
+chosen blackbox fidelity, and append to the evaluation history.
+
+Crash recovery mirrors the reference's file-based resume (toy:277-301):
+points/fidelities are appended to text files each iteration and replayed on
+restart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
+from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+from mobocmf_tpu.models.mfdgp import TL
+from mobocmf_tpu.util.hypervolume import hypervolume
+
+
+@dataclasses.dataclass
+class Blackbox:
+    """One blackbox: `fns[f]` evaluates fidelity f on (n, d) numpy arrays."""
+
+    name: str
+    fns: Sequence[Callable[[np.ndarray], np.ndarray]]
+    is_constraint: bool = False
+    threshold: float = 0.0
+    costs: Sequence[float] = (1.0, 10.0)
+
+
+@dataclasses.dataclass
+class BOConfig:
+    num_fidelities: int = 2
+    num_bo_iterations: int = 60
+    num_epochs_1: int = 5000
+    num_epochs_2: int = 15000
+    lr_1: float = 0.003
+    lr_2: float = 0.001
+    pareto_set_size: int = 50
+    opt_grid_size: int = 1000
+    batch_size: Optional[int] = None  # default: full batch
+    type_lengthscale: TL = TL.MEDIAN
+    eval_highest_fidelity: bool = False
+    seed: int = 4
+    log_dir: Optional[str] = None
+    hv_reference: Optional[np.ndarray] = None  # reference point for HV logging
+
+
+@dataclasses.dataclass
+class BOState:
+    x: np.ndarray  # (N, d)
+    fidelities: np.ndarray  # (N,)
+    ys: Dict[str, np.ndarray]  # per blackbox, (N,)
+    hypervolumes: List[float]
+
+
+def _standardize(y: np.ndarray) -> Tuple[np.ndarray, float, float]:
+    """Shared mean/std across fidelities (example_synthetic_2D.py:75-88)."""
+    mean, std = float(y.mean()), float(y.std())
+    std = std if std > 0 else 1.0
+    return (y - mean) / std, mean, std
+
+
+def run_bo_loop(
+    blackboxes: Sequence[Blackbox],
+    x_init: np.ndarray,
+    fidelities_init: np.ndarray,
+    config: BOConfig,
+    callback: Optional[Callable[[int, BOState], None]] = None,
+) -> BOState:
+    d = x_init.shape[1]
+    log_dir = config.log_dir
+    x = np.asarray(x_init, dtype=float)
+    fid = np.asarray(fidelities_init, dtype=int).reshape(-1)
+
+    # resume from logs if present (reference toy:277-301)
+    if log_dir is not None:
+        os.makedirs(log_dir, exist_ok=True)
+        pts_file = os.path.join(log_dir, "points_evaluated.txt")
+        fid_file = os.path.join(log_dir, "fidelities_evaluated.txt")
+        if os.path.exists(pts_file) and os.path.getsize(pts_file) > 0:
+            x_extra = np.loadtxt(pts_file).reshape(-1, d)
+            fid_extra = np.loadtxt(fid_file).reshape(-1).astype(int)
+            x = np.vstack([x, x_extra])
+            fid = np.concatenate([fid, fid_extra])
+            print(f"[resume] replayed {x_extra.shape[0]} evaluated points")
+
+    def eval_all(x_pts: np.ndarray, f: np.ndarray) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        for bb in blackboxes:
+            y = np.empty(x_pts.shape[0])
+            for level in range(config.num_fidelities):
+                sel = f == level
+                if sel.any():
+                    y[sel] = np.asarray(bb.fns[level](x_pts[sel])).reshape(-1)
+            out[bb.name] = y
+        return out
+
+    ys = eval_all(x, fid)
+    state = BOState(x=x, fidelities=fid, ys=ys, hypervolumes=[])
+    start_iter = 0
+    if log_dir is not None:
+        hv_file = os.path.join(log_dir, "hypervolumes.txt")
+        if os.path.exists(hv_file) and os.path.getsize(hv_file) > 0:
+            state.hypervolumes = list(np.atleast_1d(np.loadtxt(hv_file)))
+            start_iter = len(state.hypervolumes)
+
+    for it in range(start_iter, config.num_bo_iterations):
+        n = state.x.shape[0]
+        batch_size = config.batch_size or n
+        fitter = BlackBoxMFDGPFitter(
+            config.num_fidelities, batch_size,
+            lr_1=config.lr_1, lr_2=config.lr_2,
+            num_epochs_1=config.num_epochs_1, num_epochs_2=config.num_epochs_2,
+            pareto_set_size=config.pareto_set_size, opt_grid_size=config.opt_grid_size,
+            type_lengthscale=config.type_lengthscale, seed=config.seed + it,
+        )
+        stats = {}
+        for bb in blackboxes:
+            y_std, mean, std = _standardize(state.ys[bb.name])
+            stats[bb.name] = (mean, std)
+            thr = (bb.threshold - mean) / std if bb.is_constraint else 0.0
+            fitter.initialize_mfdgp(
+                jnp.asarray(state.x), jnp.asarray(y_std[:, None]),
+                jnp.asarray(state.fidelities), bb.name,
+                threshold_constraint=thr, is_constraint=bb.is_constraint,
+            )
+
+        fitter.train_mfdgps()
+        cond = fitter.copy_uncond()
+        cond.sample_and_store_pareto_solution()
+        cond.train_conditioned_mfdgps()
+
+        jes = JESMOC_MFDGP(
+            model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
+            eval_highest_fidelity=config.eval_highest_fidelity, seed=config.seed + it,
+        )
+        for bb in blackboxes:
+            for level in range(config.num_fidelities):
+                jes.add_blackbox(
+                    level, bb.name, cost_evaluation=bb.costs[level],
+                    is_constraint=bb.is_constraint,
+                )
+        x_next, fid_next = jes.get_nextpoint_coupled(iteration=it, verbose=True)
+        x_next = np.asarray(x_next, dtype=float).reshape(1, d)
+
+        y_next = eval_all(x_next, np.asarray([fid_next]))
+        state.x = np.vstack([state.x, x_next])
+        state.fidelities = np.concatenate([state.fidelities, [fid_next]])
+        for bb in blackboxes:
+            state.ys[bb.name] = np.concatenate([state.ys[bb.name], y_next[bb.name]])
+
+        # hypervolume of feasible high-fidelity observations
+        hv = _observed_hypervolume(blackboxes, state, config)
+        state.hypervolumes.append(hv)
+        print(f"[BO iter {it}] fidelity={fid_next} x={x_next.ravel()} HV={hv:.6f}")
+        sys.stdout.flush()
+
+        if log_dir is not None:
+            with open(os.path.join(log_dir, "points_evaluated.txt"), "a") as fh:
+                np.savetxt(fh, x_next)
+            with open(os.path.join(log_dir, "fidelities_evaluated.txt"), "a") as fh:
+                fh.write(f"{fid_next}\n")
+            with open(os.path.join(log_dir, "hypervolumes.txt"), "a") as fh:
+                fh.write(f"{hv}\n")
+        if callback is not None:
+            callback(it, state)
+    return state
+
+
+def _observed_hypervolume(blackboxes, state: BOState, config: BOConfig) -> float:
+    objs = [bb for bb in blackboxes if not bb.is_constraint]
+    cons = [bb for bb in blackboxes if bb.is_constraint]
+    top = config.num_fidelities - 1
+    sel = state.fidelities == top
+    if not sel.any():
+        return 0.0
+    feas = np.ones(sel.sum(), dtype=bool)
+    for bb in cons:
+        feas &= state.ys[bb.name][sel] >= bb.threshold
+    if not feas.any():
+        return 0.0
+    front = np.stack([state.ys[bb.name][sel][feas] for bb in objs], axis=1)
+    ref = (
+        np.asarray(config.hv_reference, dtype=float)
+        if config.hv_reference is not None
+        else front.max(axis=0) + 1.0
+    )
+    return hypervolume(front, ref)

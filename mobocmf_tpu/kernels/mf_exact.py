@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from mobocmf_tpu.core.constraints import Interval
@@ -55,9 +56,10 @@ def _interval_rbf_gram(p: Dict, x1: Array, x2: Array) -> Array:
     ls = _LS_INTERVAL.forward(p["raw_lengthscale"])
     os_ = _OS_INTERVAL.forward(p["raw_outputscale"])
     a, b = x1 / ls, x2 / ls
+    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
     d2 = (
         jnp.sum(a * a, -1, keepdims=True)
-        - 2.0 * (a @ b.T)
+        - 2.0 * ab
         + jnp.sum(b * b, -1, keepdims=True).T
     )
     return os_ * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from mobocmf_tpu.core.constraints import Positive
@@ -55,8 +56,11 @@ def rbf_gram(params: Dict[str, Array], x1: Array, x2: Array) -> Array:
     b = x2 / ls
     sq_a = jnp.sum(a * a, axis=-1, keepdims=True)
     sq_b = jnp.sum(b * b, axis=-1, keepdims=True)
-    d2 = sq_a - 2.0 * (a @ b.T) + sq_b.T
-    d2 = jnp.maximum(d2, 0.0)
+    # HIGHEST precision is required on TPU: the default bf16 MXU passes make
+    # the expansion trick cancel catastrophically and the Gram goes indefinite
+    # by O(1e-2) — far beyond any reasonable jitter.
+    ab = jnp.matmul(a, b.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(sq_a - 2.0 * ab + sq_b.T, 0.0)
     return os_ * jnp.exp(-0.5 * d2)
 
 
@@ -68,7 +72,7 @@ def rbf_diag(params: Dict[str, Array], x: Array) -> Array:
 
 def linear_gram(params: Dict[str, Array], x1: Array, x2: Array) -> Array:
     v = _positive.forward(params["raw_variance"])
-    return v * (x1 @ x2.T)
+    return v * jnp.matmul(x1, x2.T, precision=jax.lax.Precision.HIGHEST)
 
 
 def linear_diag(params: Dict[str, Array], x: Array) -> Array:

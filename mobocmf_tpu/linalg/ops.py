@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
@@ -13,6 +14,41 @@ Array = jnp.ndarray
 def add_jitter(k: Array, jitter: float) -> Array:
     n = k.shape[-1]
     return k + jitter * jnp.eye(n, dtype=k.dtype)
+
+
+def safe_cholesky(k: Array, jitter: float) -> Array:
+    """Cholesky of k + jitter*I with escalating-jitter fallback (f32 only).
+
+    In f64 this is a single factorization identical to the reference's
+    2e-6-jitter one. In f32 (TPU fast path) the needed jitter is PROBED on a
+    stop-gradient copy (a failed probe's NaN factor must never touch the
+    autodiff graph: even a zero cotangent times NaN poisons every upstream
+    gradient), then ONE differentiable factorization runs with the selected
+    jitter. Escalation: 1x -> 100x -> 10000x.
+    """
+    if k.dtype == jnp.float64:
+        return cholesky(add_jitter(k, jitter))
+
+    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
+    k_probe = jax.lax.stop_gradient(k)
+
+    def diag_ok(j):
+        l = cholesky(k_probe + j * eye)
+        return jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)))
+
+    ok0 = diag_ok(jnp.asarray(jitter, dtype=k.dtype))
+    j_eff = jax.lax.cond(
+        ok0,
+        lambda _: jnp.asarray(jitter, dtype=k.dtype),
+        lambda _: jax.lax.cond(
+            diag_ok(jnp.asarray(jitter * 100.0, dtype=k.dtype)),
+            lambda __: jnp.asarray(jitter * 100.0, dtype=k.dtype),
+            lambda __: jnp.asarray(jitter * 10000.0, dtype=k.dtype),
+            None,
+        ),
+        None,
+    )
+    return cholesky(k + j_eff * eye)
 
 
 def cho_solve(l: Array, b: Array) -> Array:

@@ -53,7 +53,7 @@ from mobocmf_tpu.core import config as cfg
 from mobocmf_tpu.core.constraints import Interval
 from mobocmf_tpu.core.distances import median_lengthscale
 from mobocmf_tpu.kernels import deep_mf, rbf
-from mobocmf_tpu.linalg.ops import add_jitter, cholesky, tri_solve_lower
+from mobocmf_tpu.linalg.ops import safe_cholesky, tri_solve_lower
 from mobocmf_tpu.models import svgp
 
 Array = jnp.ndarray
@@ -289,8 +289,7 @@ def compute_layer_states(
             else:
                 last_col = chain_mean
             z = jnp.concatenate([z_x, last_col[:, None]], axis=1)
-        kzz = add_jitter(gram(lp.kernel, z, z), config.jitter)
-        lk = cholesky(kzz)
+        lk = safe_cholesky(gram(lp.kernel, z, z), config.jitter)
         states.append(LayerState(z=z, lk=lk))
         if ell + 1 < config.num_fidelities and not config.only_hf:
             m = lp.variational.mean

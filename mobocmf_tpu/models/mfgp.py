@@ -170,7 +170,9 @@ def sample_from_posterior(
     b_n = jax.random.uniform(kbn, (n_features, 1), dtype=dtype, maxval=2 * jnp.pi)
 
     def phi(x, w, b, alpha):
-        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(w @ x.T + b)
+        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(
+            jnp.matmul(w, x.T, precision=jax.lax.Precision.HIGHEST) + b
+        )
 
     phi_s = phi(x_data, w_s, b_s, c["signal_os"])  # (F, N)
     phi_n = phi(x_data, w_n, b_n, c["noise_os"])
@@ -183,7 +185,7 @@ def sample_from_posterior(
     phi_full = jnp.concatenate([phi_s] + blocks, axis=0)
 
     sigma2 = noise(params)
-    a = phi_full @ phi_full.T + sigma2 * jnp.eye(phi_full.shape[0], dtype=dtype)
+    a = jnp.matmul(phi_full, phi_full.T, precision=jax.lax.Precision.HIGHEST) + sigma2 * jnp.eye(phi_full.shape[0], dtype=dtype)
     la = cholesky(a)
     m = solve_triangular(
         la.T, solve_triangular(la, phi_full @ model.y_train, lower=True), lower=False
@@ -210,7 +212,9 @@ def eval_mfgp_sample(s: MFGPSample, x: Array) -> Array:
     n_features = s.w_signal.shape[0]
 
     def phi(x, w, b, alpha):
-        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(w @ x.T + b)
+        return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(
+            jnp.matmul(w, x.T, precision=jax.lax.Precision.HIGHEST) + b
+        )
 
     phi_s = phi(x, s.w_signal, s.b_signal, s.alpha_signal)
     phi_n = phi(x, s.w_noise, s.b_noise, s.alpha_noise)
@@ -220,4 +224,4 @@ def eval_mfgp_sample(s: MFGPSample, x: Array) -> Array:
         active = 1.0 if (s.num_fidelities - s.fidelity - 1) <= t else 0.0
         blocks.append(phi_n * active)
     feats = jnp.concatenate([phi_s] + blocks, axis=0)
-    return s.theta @ feats
+    return jnp.matmul(s.theta, feats, precision=jax.lax.Precision.HIGHEST)

@@ -31,13 +31,13 @@ from __future__ import annotations
 
 from typing import Callable, Dict, NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.linalg.ops import (
-    add_jitter,
-    cholesky,
     logdet_from_chol,
+    safe_cholesky,
     tri_solve_lower,
 )
 
@@ -62,8 +62,29 @@ def init_variational(
 ) -> SVGPVariational:
     """Initialize q(u) = N(mean, cov) (reference: init_dist at
     mfdgp_hidden_layer.py:131-136, top layer cov = K(Z)*(1e-2*y_std^2)^2,
-    other layers 1e-8*I; mean_init_std=0 keeps the mean exact)."""
-    l = jnp.linalg.cholesky(cov)
+    other layers 1e-8*I; mean_init_std=0 keeps the mean exact).
+
+    The factorization happens on host in float64 regardless of the compute
+    dtype: the init covariances have eigenvalues down to ~1e-13, which a
+    float32 Cholesky cannot factor (it would silently NaN on TPU). When the
+    covariance was itself assembled in f32 (TPU fast path) its rounding noise
+    can make it indefinite; escalate a tiny RELATIVE jitter until the f64
+    factorization succeeds (starts at 1e-12 of the mean diagonal — far below
+    anything the optimizer can feel)."""
+    import numpy as _np
+
+    cov_np = _np.asarray(cov, dtype=_np.float64)
+    scale = float(_np.mean(_np.diag(cov_np)))
+    l = None
+    for rel in (0.0, 1e-12, 1e-9, 1e-6, 1e-3):
+        try:
+            l = _np.linalg.cholesky(cov_np + rel * scale * _np.eye(cov_np.shape[0]))
+            break
+        except _np.linalg.LinAlgError:
+            continue
+    if l is None:
+        raise _np.linalg.LinAlgError("init covariance not factorizable")
+    l = jnp.asarray(l)
     if dtype is not None:
         mean = mean.astype(dtype)
         l = l.astype(dtype)
@@ -86,20 +107,19 @@ def predict_diag(
     evaluate several test sets against the same inducing state can reuse it.
     """
     if lk is None:
-        kzz = add_jitter(kernel_gram(kparams, z, z), jitter)
-        lk = cholesky(kzz)
+        lk = safe_cholesky(kernel_gram(kparams, z, z), jitter)
     kzx = kernel_gram(kparams, z, x)  # (M, N)
     w = tri_solve_lower(lk, kzx)  # L^{-1} Kzx, (M, N)
     # A^T m with A = Kzz^{-1} Kzx: mu = w^T (L^{-1} m)
     lm = tri_solve_lower(lk, var.mean[:, None])  # (M, 1)
-    mu = (w.T @ lm)[:, 0]
+    mu = jnp.matmul(w.T, lm, precision=jax.lax.Precision.HIGHEST)[:, 0]
     kxx = kernel_diag(kparams, x)
     # diag(Kxz Kzz^-1 Kzx) = colsum(w^2)
     v1 = jnp.sum(w * w, axis=0)
     # diag(A^T S A) with A = L^{-T} w: B = L_S^T A => colsum(B^2)
     ls = tril(var.chol_raw)
     a = solve_triangular(lk.T, w, lower=False)  # A = Kzz^{-1} Kzx
-    b = ls.T @ a
+    b = jnp.matmul(ls.T, a, precision=jax.lax.Precision.HIGHEST)
     v2 = jnp.sum(b * b, axis=0)
     pred_var = kxx - v1 + v2
     return mu, jnp.maximum(pred_var, 1e-12), lk
@@ -116,12 +136,11 @@ def predict_mean(
 ) -> Tuple[Array, Array]:
     """Predictive mean only (used for the dynamic inducing-point chain)."""
     if lk is None:
-        kzz = add_jitter(kernel_gram(kparams, z, z), jitter)
-        lk = cholesky(kzz)
+        lk = safe_cholesky(kernel_gram(kparams, z, z), jitter)
     kzx = kernel_gram(kparams, z, x)
     w = tri_solve_lower(lk, kzx)
     lm = tri_solve_lower(lk, var.mean[:, None])
-    return (w.T @ lm)[:, 0], lk
+    return jnp.matmul(w.T, lm, precision=jax.lax.Precision.HIGHEST)[:, 0], lk
 
 
 def kl_divergence(
@@ -134,8 +153,7 @@ def kl_divergence(
 ) -> Array:
     """KL( N(m, S) || N(0, Kzz + jitter I) ), unwhitened."""
     if lk is None:
-        kzz = add_jitter(kernel_gram(kparams, z, z), jitter)
-        lk = cholesky(kzz)
+        lk = safe_cholesky(kernel_gram(kparams, z, z), jitter)
     m = var.mean
     ls = tril(var.chol_raw)
     # tr(Kzz^{-1} S) = || L^{-1} L_S ||_F^2
@@ -165,8 +183,7 @@ def predict_diag_whitened(
     lk: Array | None = None,
 ) -> Tuple[Array, Array, Array]:
     if lk is None:
-        kzz = add_jitter(kernel_gram(kparams, z, z), jitter)
-        lk = cholesky(kzz)
+        lk = safe_cholesky(kernel_gram(kparams, z, z), jitter)
     kzx = kernel_gram(kparams, z, x)
     p = tri_solve_lower(lk, kzx)  # L^{-1} Kzx = P^T, (M, N)
     mu = p.T @ var.mean

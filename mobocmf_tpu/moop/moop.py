@@ -168,6 +168,7 @@ class MOOP:
         feasible_values=0.0,
         min_distance_between_points: float = 1e-6,
         use_slsqp_polish: bool = True,
+        mesh=None,
     ):
         self.samples_objs = list(samples_objs)
         self.samples_cons = list(samples_cons)
@@ -179,6 +180,7 @@ class MOOP:
             feasible_values = np.ones(max(len(self.samples_cons), 1)) * feasible_values
         self.feasible_values = np.asarray(feasible_values, dtype=float)
         self.use_slsqp_polish = use_slsqp_polish
+        self.mesh = mesh  # optional jax.sharding.Mesh: shards grid evals over 'dp'
 
         # jitted evaluators (+ scalar grads for the polish step)
         self._objs_jit = [jax.jit(f) for f in self.samples_objs]
@@ -271,8 +273,10 @@ class MOOP:
         grid = np.concatenate([rand, inputs], axis=0)
         grid_j = jnp.asarray(grid)
 
+        from mobocmf_tpu.parallel.sharding import sharded_grid_eval
+
         cons_evals = (
-            np.stack([np.asarray(cf(grid_j)) for cf in self._cons_jit])
+            sharded_grid_eval(self.samples_cons, grid_j, self.mesh)
             if self._cons_jit
             else np.zeros((0, grid.shape[0]))
         )
@@ -280,7 +284,7 @@ class MOOP:
         if feasible is None:
             return None
 
-        obj_evals = np.stack([np.asarray(of(grid_j)) for of in self._objs_jit])
+        obj_evals = sharded_grid_eval(self.samples_objs, grid_j, self.mesh)
 
         # per-objective polish; append accepted optima to the grid
         if self.use_slsqp_polish:

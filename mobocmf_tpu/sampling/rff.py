@@ -67,18 +67,21 @@ class MFDGPFunctionSample(NamedTuple):
 
 def _phi(x: Array, w: Array, b: Array, alpha: Array, n_features: int) -> Array:
     """(F, N) feature matrix, reference _phi_rbf (:288-292)."""
-    return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(w @ x.T + b)
+    return jnp.sqrt(2.0 * alpha / n_features) * jnp.cos(
+        jnp.matmul(w, x.T, precision=jax.lax.Precision.HIGHEST) + b
+    )
 
 
 def _posterior_theta(
     key: jax.Array, phi: Array, y: Array, s: Array, sigma2: float = cfg.RFF_SIGMA2
 ) -> Array:
     f = phi.shape[0]
-    a = phi @ phi.T + sigma2 * jnp.eye(f, dtype=phi.dtype)
+    a = jnp.matmul(phi, phi.T, precision=jax.lax.Precision.HIGHEST) + sigma2 * jnp.eye(f, dtype=phi.dtype)
     la = cholesky(a)
     m = cho_solve(la, phi @ y)
     a_inv = cho_solve(la, jnp.eye(f, dtype=phi.dtype))
-    extra = (a_inv @ phi) @ s @ (phi.T @ a_inv)
+    mm = lambda u, v: jnp.matmul(u, v, precision=jax.lax.Precision.HIGHEST)
+    extra = mm(mm(mm(a_inv, phi), s), mm(phi.T, a_inv))
     cov = sigma2 * a_inv + extra
     # tiny relative jitter for Cholesky safety (the reference relies on
     # scipy raising; jnp.linalg.cholesky would silently NaN instead)
@@ -239,7 +242,7 @@ def eval_sample(
             feats = _phi(x, s.w, s.b, s.alpha, n_features)
         else:
             feats = _deep_features(s, x, f, n_features)
-        f = s.theta @ feats
+        f = jnp.matmul(s.theta, feats, precision=jax.lax.Precision.HIGHEST)
     return f
 
 
