@@ -1,0 +1,61 @@
+"""Checkpoint round-trip tests (replacing the reference's pickle tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+from mobocmf_tpu.util import checkpoint
+
+
+@pytest.fixture()
+def small_fitter():
+    rng = np.random.default_rng(0)
+    n, d = 12, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2))
+    fitter = BlackBoxMFDGPFitter(2, batch_size=n, num_epochs_1=2, num_epochs_2=3,
+                                 opt_grid_size=20, pareto_set_size=5)
+    fitter.initialize_mfdgp(x, jnp.asarray(rng.normal(size=(n, 1))), fid, "obj1")
+    fitter.initialize_mfdgp(
+        x, jnp.asarray(rng.normal(size=(n, 1))), fid, "con1",
+        threshold_constraint=0.1, is_constraint=True,
+    )
+    return fitter
+
+
+def test_checkpoint_roundtrip_preserves_params(small_fitter, tmp_path):
+    fitter = small_fitter
+    fitter.train_mfdgps()
+    checkpoint.save_fitter(str(tmp_path / "ck"), fitter)
+    restored = checkpoint.restore_fitter(str(tmp_path / "ck"))
+
+    assert restored.obj_names == fitter.obj_names
+    assert restored.con_names == fitter.con_names
+    assert restored.thresholds_cons == fitter.thresholds_cons
+    for name in fitter.obj_names:
+        a = fitter.models_objs[name].params
+        b = restored.models_objs[name].params
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    assert restored.models_objs["obj1"].config == fitter.models_objs["obj1"].config
+
+
+def test_restored_fitter_can_continue_pipeline(small_fitter, tmp_path):
+    fitter = small_fitter
+    fitter.train_mfdgps()
+    checkpoint.save_fitter(str(tmp_path / "ck2"), fitter)
+    restored = checkpoint.restore_fitter(str(tmp_path / "ck2"))
+    solution = restored.sample_and_store_pareto_solution()
+    assert solution.num_valid >= 1
+    restored.num_epochs_2 = 2
+    restored.train_conditioned_mfdgps()
+
+    # pareto solution survives a second round trip
+    checkpoint.save_fitter(str(tmp_path / "ck3"), restored)
+    again = checkpoint.restore_fitter(str(tmp_path / "ck3"))
+    np.testing.assert_array_equal(
+        np.asarray(again.pareto_solution.pareto_set),
+        np.asarray(restored.pareto_solution.pareto_set),
+    )
