@@ -197,11 +197,13 @@ def sample_prior(
     input_dims: int,
     num_fidelities: int,
     n_features: int = cfg.RFF_NUM_FEATURES,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> MFDGPFunctionSample:
     """Prior sample of the whole stack (reference
     sample_function_from_prior_each_layer, mfdgp.py:277-288; fixed prior
     hyperparameters, layer file :339-362 and :446-514)."""
+    if dtype is None:
+        dtype = jnp.result_type(float)  # f64 under x64, else f32
     layers: List = []
     for ell in range(num_fidelities):
         key, k_feat, k_theta = jax.random.split(key, 3)
