@@ -49,6 +49,10 @@ def bench_jax():
     import jax
     import jax.numpy as jnp
 
+    from mobocmf_tpu.util.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from mobocmf_tpu.fit import trainer
     from mobocmf_tpu.models import mfdgp as M
 

@@ -20,6 +20,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mobocmf_tpu.util.cache import enable_compilation_cache
+    enable_compilation_cache()
     from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
     from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
     from mobocmf_tpu.sampling import rff

@@ -61,6 +61,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mobocmf_tpu.util.cache import enable_compilation_cache
+    enable_compilation_cache()
     from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
     from mobocmf_tpu.sampling import rff
     from mobocmf_tpu.util.util import reset_random_state

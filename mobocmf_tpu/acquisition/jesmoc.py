@@ -138,11 +138,30 @@ class JESMOC_MFDGP:
 
     def _optimize_fidelity(self, fidelity: int):
         d = self._input_dim()
-        dtype = next(iter(self.objectives[0].values())).mfdgp_uncond.consts.z_x[0].dtype if self.objectives[0] else jnp.float64
-        return optimize_acqf_box(
-            lambda xx: self.coupled_acq(xx, fidelity), d, self._next_key(),
-            num_restarts=5, raw_samples=200, maxiter=200, dtype=dtype,
+        dtype = (
+            next(iter(self.objectives[0].values())).mfdgp_uncond.consts.z_x[0].dtype
+            if self.objectives[0]
+            else jnp.float64
         )
+        # one jitted program per fidelity (cached across BO iterations of the
+        # same shapes); eager dispatch over a remote TPU tunnel is the enemy
+        if not hasattr(self, "_opt_jit_cache"):
+            self._opt_jit_cache = {}
+        if fidelity not in self._opt_jit_cache:
+            import functools
+
+            self._opt_jit_cache[fidelity] = jax.jit(
+                functools.partial(
+                    optimize_acqf_box,
+                    lambda xx: self.coupled_acq(xx, fidelity),
+                    d,
+                    num_restarts=5,
+                    raw_samples=200,
+                    maxiter=200,
+                    dtype=dtype,
+                )
+            )
+        return self._opt_jit_cache[fidelity](self._next_key())
 
     def _get_nextpoint_coupled_highest_fidelity(self, iteration=None, verbose=False):
         fidelity = self.num_fidelities - 1

@@ -125,11 +125,23 @@ class MESMOC_MFGP:
 
     def get_nextpoint_coupled(self, iteration=None, verbose=False):
         best_weighted, best_x, best_fid = None, None, 0
+        if not hasattr(self, "_opt_jit_cache"):
+            self._opt_jit_cache = {}
         for fidelity in range(self.num_fidelities):
-            x_f, value = optimize_acqf_box(
-                lambda xx: self.coupled_acq(xx, fidelity), self.input_dim,
-                self._next_key(), num_restarts=5, raw_samples=200, maxiter=200,
-            )
+            if fidelity not in self._opt_jit_cache:
+                import functools
+
+                self._opt_jit_cache[fidelity] = jax.jit(
+                    functools.partial(
+                        optimize_acqf_box,
+                        lambda xx, f=fidelity: self.coupled_acq(xx, f),
+                        self.input_dim,
+                        num_restarts=5,
+                        raw_samples=200,
+                        maxiter=200,
+                    )
+                )
+            x_f, value = self._opt_jit_cache[fidelity](self._next_key())
             weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
             if fidelity == 0 or weighted > best_weighted:
                 best_weighted, best_x, best_fid = weighted, x_f, fidelity

@@ -27,7 +27,7 @@ from mobocmf_tpu.fit import conditioned as C
 from mobocmf_tpu.fit import trainer
 from mobocmf_tpu.models import mfdgp as M
 from mobocmf_tpu.models.mfdgp import TL
-from mobocmf_tpu.moop.moop import MOOP, NotFeasiblePoints, ParetoSolution
+from mobocmf_tpu.moop.moop import MOOP, NotFeasiblePoints, ParetoSolution, SampledFunction
 from mobocmf_tpu.sampling import rff
 
 Array = jnp.ndarray
@@ -175,18 +175,27 @@ class BlackBoxMFDGPFitter:
 
     def _sample_and_store_pareto_solution(self):
         l_samples_objs = [
-            rff.sample_posterior(self._next_key(), m.params, m.consts, m.config)
+            rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
             for m in (self.models_objs[n] for n in self.obj_names)
         ]
-        obj_fns = [partial(rff.eval_sample, s) for s in l_samples_objs]
+        obj_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_objs]
 
         global_optimizer = None
-        for _ in range(MAX_TRIES_FOR_FEASIBLE_GRID):
+        for try_idx in range(MAX_TRIES_FOR_FEASIBLE_GRID):
+            if try_idx > 0 and try_idx % 10 == 0:
+                # NaN-defense beyond the reference: objective samples are drawn
+                # once outside this loop (:181-186); if they are degenerate the
+                # retry loop would spin forever, so refresh them occasionally
+                l_samples_objs = [
+                    rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
+                    for m in (self.models_objs[n] for n in self.obj_names)
+                ]
+                obj_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_objs]
             l_samples_cons = [
-                rff.sample_posterior(self._next_key(), m.params, m.consts, m.config)
+                rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
                 for m in (self.models_cons[n] for n in self.con_names)
             ]
-            con_fns = [partial(rff.eval_sample, s) for s in l_samples_cons]
+            con_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_cons]
 
             global_optimizer = MOOP(
                 obj_fns,

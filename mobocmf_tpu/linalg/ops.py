@@ -31,24 +31,34 @@ def safe_cholesky(k: Array, jitter: float) -> Array:
 
     eye = jnp.eye(k.shape[-1], dtype=k.dtype)
     k_probe = jax.lax.stop_gradient(k)
+    jitter = jnp.asarray(jitter, dtype=k.dtype)  # float or traced scalar
 
     def diag_ok(j):
         l = cholesky(k_probe + j * eye)
         return jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)))
 
-    ok0 = diag_ok(jnp.asarray(jitter, dtype=k.dtype))
+    ok0 = diag_ok(jitter)
     j_eff = jax.lax.cond(
         ok0,
-        lambda _: jnp.asarray(jitter, dtype=k.dtype),
+        lambda _: jitter,
         lambda _: jax.lax.cond(
-            diag_ok(jnp.asarray(jitter * 100.0, dtype=k.dtype)),
-            lambda __: jnp.asarray(jitter * 100.0, dtype=k.dtype),
-            lambda __: jnp.asarray(jitter * 10000.0, dtype=k.dtype),
+            diag_ok(jitter * 100.0),
+            lambda __: jitter * 100.0,
+            lambda __: jitter * 10000.0,
             None,
         ),
         None,
     )
     return cholesky(k + j_eff * eye)
+
+
+def safe_cholesky_rel(k: Array, rel: float) -> Array:
+    """safe_cholesky with jitter RELATIVE to the mean diagonal — for matrices
+    whose scale is data-dependent (RFF posterior weight covariances)."""
+    scale = jnp.mean(jnp.abs(jnp.diagonal(jax.lax.stop_gradient(k), axis1=-2, axis2=-1)))
+    if k.dtype == jnp.float64:
+        return cholesky(k + (rel * scale) * jnp.eye(k.shape[-1], dtype=k.dtype))
+    return safe_cholesky(k, rel * scale)
 
 
 def cho_solve(l: Array, b: Array) -> Array:

@@ -184,20 +184,21 @@ def sample_from_posterior(
         blocks.append(phi_n * active[None, :].astype(dtype))
     phi_full = jnp.concatenate([phi_s] + blocks, axis=0)
 
-    sigma2 = noise(params)
-    a = jnp.matmul(phi_full, phi_full.T, precision=jax.lax.Precision.HIGHEST) + sigma2 * jnp.eye(phi_full.shape[0], dtype=dtype)
-    la = cholesky(a)
-    m = solve_triangular(
-        la.T, solve_triangular(la, phi_full @ model.y_train, lower=True), lower=False
+    # posterior weights via the f64 host dual-space solve (S = 0 for the
+    # exact-GP case: cov = sigma2 * A^{-1}); see sampling/rff.host_dual_theta
+    from mobocmf_tpu.sampling.rff import host_dual_theta, _key_to_seed
+
+    sigma2 = float(noise(params))
+    n_rows = phi_full.shape[0]
+    import numpy as _np
+
+    theta = jnp.asarray(
+        host_dual_theta(
+            _key_to_seed(kth), phi_full, model.y_train,
+            _np.zeros((model.x_train.shape[0], model.x_train.shape[0])), sigma2,
+        ),
+        dtype=dtype,
     )
-    a_inv = solve_triangular(
-        la.T, solve_triangular(la, jnp.eye(phi_full.shape[0], dtype=dtype), lower=True),
-        lower=False,
-    )
-    cov = sigma2 * a_inv
-    cov = cov + (1e-10 * jnp.mean(jnp.diag(cov))) * jnp.eye(cov.shape[0], dtype=dtype)
-    eps = jax.random.normal(kth, (phi_full.shape[0],), dtype=dtype)
-    theta = m + cholesky(cov) @ eps
 
     return MFGPSample(
         w_signal=w_s, b_signal=b_s, alpha_signal=jnp.asarray(c["signal_os"], dtype=dtype),

@@ -148,14 +148,67 @@ def summarize_pareto(
 # ---------------------------------------------------------------------------
 
 
+class SampledFunction:
+    """A function sample as (eval_fn, pytree) so jit caches survive resampling.
+
+    `fn(tree, x)` must be a module-level JAX-traceable function; `tree` is the
+    sample pytree. Closures (functools.partial over a fresh pytree) defeat
+    jit's cache — every Pareto resampling retry would recompile everything.
+    """
+
+    _EVAL_CACHE: dict = {}
+    _VG_CACHE: dict = {}
+
+    def __init__(self, fn, tree):
+        self.fn = fn
+        self.tree = tree
+
+    def __call__(self, x):
+        return self.fn(self.tree, x)
+
+    def eval_jit(self, x):
+        if self.fn not in SampledFunction._EVAL_CACHE:
+            SampledFunction._EVAL_CACHE[self.fn] = jax.jit(self.fn)
+        return SampledFunction._EVAL_CACHE[self.fn](self.tree, x)
+
+    def value_and_grad(self, x):
+        if self.fn not in SampledFunction._VG_CACHE:
+            fn = self.fn
+            SampledFunction._VG_CACHE[self.fn] = jax.jit(
+                jax.value_and_grad(lambda tree, xx: fn(tree, xx[None, :])[0], argnums=1)
+            )
+        return SampledFunction._VG_CACHE[self.fn](self.tree, x)
+
+
+_CONS_STACK_CACHE: dict = {}
+
+
+def _cons_stack_eval(cons: Sequence, x):
+    """All-constraints scalar eval + jacobian in ONE cached jitted call."""
+    key = tuple(c.fn for c in cons)
+    if key not in _CONS_STACK_CACHE:
+        fns = key
+
+        def stacked(trees, xx):
+            return jnp.stack([f(t, xx[None, :])[0] for f, t in zip(fns, trees)])
+
+        _CONS_STACK_CACHE[key] = (
+            jax.jit(stacked),
+            jax.jit(jax.jacfwd(stacked, argnums=1)),
+        )
+    ev, jac = _CONS_STACK_CACHE[key]
+    trees = tuple(c.tree for c in cons)
+    return ev(trees, x), lambda xx: jac(trees, xx)
+
+
 class MOOP:
     """Constrained MOO over sampled functions on [0,1]^d.
 
-    samples_objs / samples_cons: JAX-traceable callables f(x: (N,d)) -> (N,)
-    (e.g. partial(rff.eval_sample, sample)). `grid_size` and
-    `feasible_values` follow the reference's conventions (the fitter passes
-    grid_size = opt_grid_size * d and feasible_values = -thresholds,
-    blackbox_mfdgp_fitter.py:197-202).
+    samples_objs / samples_cons: either `SampledFunction`s (preferred — jit
+    caches survive resampling) or plain JAX-traceable callables
+    f(x: (N,d)) -> (N,). `grid_size` and `feasible_values` follow the
+    reference's conventions (the fitter passes grid_size = opt_grid_size * d
+    and feasible_values = -thresholds, blackbox_mfdgp_fitter.py:197-202).
     """
 
     def __init__(
@@ -182,15 +235,15 @@ class MOOP:
         self.use_slsqp_polish = use_slsqp_polish
         self.mesh = mesh  # optional jax.sharding.Mesh: shards grid evals over 'dp'
 
-        # jitted evaluators (+ scalar grads for the polish step)
-        self._objs_jit = [jax.jit(f) for f in self.samples_objs]
-        self._cons_jit = [jax.jit(f) for f in self.samples_cons]
-        self._obj_grads = [
-            jax.jit(jax.grad(lambda x, f=f: f(x[None, :])[0])) for f in self.samples_objs
-        ]
-        self._con_grads = [
-            jax.jit(jax.grad(lambda x, f=f: f(x[None, :])[0])) for f in self.samples_cons
-        ]
+        # plain callables get wrapped so everything downstream sees the
+        # SampledFunction interface (jit caches shared across MOOP instances)
+        def wrap(f):
+            if isinstance(f, SampledFunction):
+                return f
+            return SampledFunction(lambda _tree, x, f=f: f(x), None)
+
+        self._objs = [wrap(f) for f in self.samples_objs]
+        self._cons = [wrap(f) for f in self.samples_cons]
 
     # -- feasibility ---------------------------------------------------------
 
@@ -222,23 +275,29 @@ class MOOP:
         best_val = float(masked[best_idx])
         x0 = grid[best_idx].copy()
 
-        f = lambda x: float(self._objs_jit[obj_idx](jnp.asarray(x)[None, :])[0])
-        f_prime = lambda x: np.asarray(self._obj_grads[obj_idx](jnp.asarray(x)), dtype=float)
+        vg = self._objs[obj_idx].value_and_grad
+        cache = {}
+
+        def f(x):
+            key = x.tobytes()
+            if key not in cache:
+                v, g = vg(jnp.asarray(x))
+                cache[key] = (float(v), np.asarray(g, dtype=float))
+            return cache[key][0]
+
+        def f_prime(x):
+            f(x)
+            return cache[x.tobytes()][1]
 
         def make_g(tol):
             def g(x):
-                xj = jnp.asarray(x)[None, :]
-                return np.array(
-                    [
-                        float(cf(xj)[0]) - tol - fv
-                        for cf, fv in zip(self._cons_jit, self.feasible_values)
-                    ]
-                )
+                vals, _ = _cons_stack_eval(self._cons, jnp.asarray(x))
+                return np.asarray(vals, dtype=float) - tol - self.feasible_values
             return g
 
         def g_prime(x):
-            xj = jnp.asarray(x)
-            return np.stack([np.asarray(cg(xj), dtype=float) for cg in self._con_grads])
+            _, jac = _cons_stack_eval(self._cons, jnp.asarray(x))
+            return np.asarray(jac(jnp.asarray(x)), dtype=float)
 
         bounds = [(0.0, 1.0)] * self.input_dim
         for tol, accept_tol in ((0.0, 0.0), (constraint_tol, constraint_tol)):
@@ -276,20 +335,31 @@ class MOOP:
         from mobocmf_tpu.parallel.sharding import sharded_grid_eval
 
         cons_evals = (
-            sharded_grid_eval(self.samples_cons, grid_j, self.mesh)
-            if self._cons_jit
+            sharded_grid_eval(self._cons, grid_j, self.mesh)
+            if self._cons
             else np.zeros((0, grid.shape[0]))
         )
+        if not np.isfinite(cons_evals).all():
+            # non-finite constraint samples cannot define feasibility
+            print("[MOOP] non-finite constraint samples; resampling")
+            return None
         feasible = self._feasible_mask(cons_evals, allow_negative_constraints)
         if feasible is None:
             return None
 
-        obj_evals = sharded_grid_eval(self.samples_objs, grid_j, self.mesh)
+        obj_evals = sharded_grid_eval(self._objs, grid_j, self.mesh)
+        # drop grid rows where any objective sample is non-finite
+        n_bad = int((~np.isfinite(obj_evals)).any(axis=0).sum())
+        if n_bad:
+            print(f"[MOOP] dropped {n_bad} grid rows with non-finite objective samples")
+        feasible = feasible & np.isfinite(obj_evals).all(axis=0)
+        if not feasible.any():
+            return None
 
         # per-objective polish; append accepted optima to the grid
         if self.use_slsqp_polish:
             new_pts: List[np.ndarray] = []
-            for i in range(len(self._objs_jit)):
+            for i in range(len(self._objs)):
                 opt_x = self.optimize_obj_globally(i, obj_evals[i], feasible, grid)
                 if opt_x is not None:
                     d = np.sqrt(((grid - opt_x) ** 2).sum(axis=1)).min()
@@ -301,7 +371,7 @@ class MOOP:
                 grid = np.concatenate([grid, extra], axis=0)
                 grid_j = jnp.asarray(grid)
                 obj_evals = np.concatenate(
-                    [obj_evals, np.stack([np.asarray(of(extra_j)) for of in self._objs_jit])],
+                    [obj_evals, np.stack([np.asarray(of.eval_jit(extra_j)) for of in self._objs])],
                     axis=1,
                 )
                 feasible = np.concatenate([feasible, np.ones(extra.shape[0], dtype=bool)])
@@ -320,6 +390,11 @@ class MOOP:
             pset, pfront = grid_j[sel], pts[sel]
             out_mask = jnp.ones((int(sel.sum()),), dtype=bool)
             num_valid = int(sel.sum())
+
+        if num_valid == 0 or not bool(
+            jnp.isfinite(jnp.where(out_mask[:, None], pfront, 0.0)).all()
+        ):
+            return None
 
         solution = ParetoSolution(
             pareto_set=pset, pareto_front=pfront, mask=out_mask, num_valid=num_valid

@@ -57,11 +57,12 @@ def sharded_grid_eval(
     This is the hot MOOP path (grid of 1000*d^2 points x (num_obj + num_con)
     RFF evaluations). Returns a (len(fns), N) numpy array."""
     n = grid.shape[0]
+
+    def call(f, g):
+        eval_jit = getattr(f, "eval_jit", None)
+        return eval_jit(g) if eval_jit is not None else jax.jit(f)(g)
+
     if mesh is None:
-        return np.stack([np.asarray(jax.jit(f)(grid)) for f in fns])
+        return np.stack([np.asarray(call(f, grid)) for f in fns])
     grid_sh = shard_rows(mesh, jnp.asarray(grid))
-    outs = []
-    for f in fns:
-        v = jax.jit(f)(grid_sh)
-        outs.append(np.asarray(v)[:n])
-    return np.stack(outs)
+    return np.stack([np.asarray(call(f, grid_sh))[:n] for f in fns])

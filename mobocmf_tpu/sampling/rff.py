@@ -32,7 +32,6 @@ import jax
 import jax.numpy as jnp
 
 from mobocmf_tpu.core import config as cfg
-from mobocmf_tpu.linalg.ops import cho_solve, cholesky
 from mobocmf_tpu.models import mfdgp as M
 from mobocmf_tpu.models import svgp
 
@@ -72,42 +71,80 @@ def _phi(x: Array, w: Array, b: Array, alpha: Array, n_features: int) -> Array:
     )
 
 
-def _posterior_theta(
-    key: jax.Array, phi: Array, y: Array, s: Array, sigma2: float = cfg.RFF_SIGMA2
-) -> Array:
-    f = phi.shape[0]
-    a = jnp.matmul(phi, phi.T, precision=jax.lax.Precision.HIGHEST) + sigma2 * jnp.eye(f, dtype=phi.dtype)
-    la = cholesky(a)
-    m = cho_solve(la, phi @ y)
-    a_inv = cho_solve(la, jnp.eye(f, dtype=phi.dtype))
-    mm = lambda u, v: jnp.matmul(u, v, precision=jax.lax.Precision.HIGHEST)
-    extra = mm(mm(mm(a_inv, phi), s), mm(phi.T, a_inv))
-    cov = sigma2 * a_inv + extra
-    # tiny relative jitter for Cholesky safety (the reference relies on
-    # scipy raising; jnp.linalg.cholesky would silently NaN instead)
-    cov = cov + (1e-10 * jnp.mean(jnp.diag(cov))) * jnp.eye(f, dtype=phi.dtype)
-    eps = jax.random.normal(key, (f,), dtype=phi.dtype)
-    return m + cholesky(cov) @ eps
+def host_dual_theta(
+    seed: int, phi, y, s_cov, sigma2: float = cfg.RFF_SIGMA2
+):
+    """Posterior RFF weights via the DUAL (QR/Woodbury) formulation, host f64.
+
+    The reference's primal system A = Phi Phi^T + sigma2*I (reference
+    :297-307) is FxF with rank M << F and smallest eigenvalue sigma2 = 1e-6 —
+    hopeless to factor in f32 and wasteful even in f64. With the thin QR
+    Phi = Q R (Q: FxM, R: MxM) and G = R R^T + sigma2 I, the SAME posterior
+    N(m, cov) is
+
+        m    = Q G^{-1} R y
+        cov  = (I - Q Q^T) + Q C Q^T,   C = sigma2 G^{-1} + G^{-1} R S R^T G^{-1}
+        theta = m + (eps1 - Q Q^T eps1) + Q chol(C) eps2
+
+    (substitute A^{-1} = Q G^{-1} Q^T + sigma2^{-1}(I - Q Q^T); identical to
+    the reference's sampling distribution, factored exactly). Everything
+    ill-conditioned is MxM and solved here in float64 on host — the RFF
+    posterior is drawn once per BO iteration, off the jit hot path.
+    """
+    import numpy as _np
+
+    phi = _np.asarray(phi, dtype=_np.float64)
+    y = _np.asarray(y, dtype=_np.float64).reshape(-1)
+    s_cov = _np.asarray(s_cov, dtype=_np.float64)
+    f_dim, m_dim = phi.shape
+    q, r = _np.linalg.qr(phi)
+    g = r @ r.T + sigma2 * _np.eye(m_dim)
+    g_inv = _np.linalg.solve(g, _np.eye(m_dim))
+    m = q @ (g_inv @ (r @ y))
+    c = sigma2 * g_inv + g_inv @ r @ s_cov @ r.T @ g_inv
+    c = 0.5 * (c + c.T)
+    scale = max(float(_np.mean(_np.diag(c))), 1e-300)
+    lc = None
+    for rel in (0.0, 1e-12, 1e-9, 1e-6):
+        try:
+            lc = _np.linalg.cholesky(c + rel * scale * _np.eye(m_dim))
+            break
+        except _np.linalg.LinAlgError:
+            continue
+    if lc is None:
+        raise _np.linalg.LinAlgError("RFF dual covariance not factorizable")
+    rng = _np.random.default_rng(seed)
+    eps1 = rng.standard_normal(f_dim)
+    eps2 = rng.standard_normal(m_dim)
+    return m + (eps1 - q @ (q.T @ eps1)) + q @ (lc @ eps2)
 
 
-def sample_posterior(
+def _key_to_seed(key: jax.Array) -> int:
+    return int(jax.random.randint(key, (), 0, 2**31 - 1))
+
+
+def _sample_posterior_features(
     key: jax.Array,
     params: M.MFDGPParams,
     consts: M.MFDGPConsts,
     config: M.MFDGPConfig,
     n_features: int = cfg.RFF_NUM_FEATURES,
-) -> MFDGPFunctionSample:
-    """Pathwise posterior sample of every layer (reference
-    sample_function_from_each_layer, mfdgp.py:264-275)."""
+):
+    """Device part of posterior sampling: draw W/b, build per-layer feature
+    matrices Phi(Z) at the current dynamic inducing points, and collect each
+    layer's variational (y, S). Thetas are zeros, filled by the host pass."""
     states = M.compute_layer_states(params, consts, config)
     layers: List = []
+    phis: List = []
+    ys: List = []
+    covs: List = []
     for ell in range(config.num_fidelities):
         lp = params.layers[ell]
         z = states[ell].z
         y = lp.variational.mean
         ls_chol = svgp.tril(lp.variational.chol_raw)
-        s = ls_chol @ ls_chol.T
-        key, k_feat, k_theta = jax.random.split(key, 3)
+        s = jnp.matmul(ls_chol, ls_chol.T, precision=jax.lax.Precision.HIGHEST)
+        key, k_feat = jax.random.split(key)
         if ell == 0:
             from mobocmf_tpu.kernels.rbf import scale_rbf_constrained
 
@@ -118,15 +155,56 @@ def sample_posterior(
                 kb, (n_features, 1), dtype=z.dtype, maxval=2.0 * jnp.pi
             )
             phi = _phi(z, w, b, alpha, n_features)
-            theta = _posterior_theta(k_theta, phi, y, s)
-            layers.append(Layer0Sample(w=w, b=b, alpha=alpha, theta=theta))
-        else:
             layers.append(
-                _sample_deep_layer(
-                    k_feat, k_theta, lp.kernel, z, y, s, n_features, prior=False
+                Layer0Sample(
+                    w=w, b=b, alpha=alpha,
+                    theta=jnp.zeros((n_features,), dtype=z.dtype),
                 )
             )
-    return MFDGPFunctionSample(layers=tuple(layers))
+        else:
+            lay = _sample_deep_layer(
+                k_feat, None, lp.kernel, z, y, s, n_features, prior=False,
+                skip_theta=True,
+            )
+            phi = _deep_features(lay, z[:, :-1], z[:, -1], n_features)
+            layers.append(lay)
+        phis.append(phi)
+        ys.append(y)
+        covs.append(s)
+    return MFDGPFunctionSample(layers=tuple(layers)), tuple(phis), tuple(ys), tuple(covs)
+
+
+_sample_posterior_features_jit = jax.jit(
+    _sample_posterior_features, static_argnames=("config", "n_features")
+)
+
+
+def sample_posterior(
+    key: jax.Array,
+    params: M.MFDGPParams,
+    consts: M.MFDGPConsts,
+    config: M.MFDGPConfig,
+    n_features: int = cfg.RFF_NUM_FEATURES,
+) -> MFDGPFunctionSample:
+    """Pathwise posterior sample of every layer (reference
+    sample_function_from_each_layer, mfdgp.py:264-275).
+
+    Hybrid: features on device (jitted), posterior weights via the f64
+    dual-space solve on host (see host_dual_theta) — called once per BO
+    iteration, off the training hot path."""
+    import numpy as _np
+
+    key_feat, key_theta = jax.random.split(key)
+    skeleton, phis, ys, covs = _sample_posterior_features_jit(
+        key_feat, params, consts, config, n_features
+    )
+    dtype = consts.z_x[0].dtype
+    new_layers = []
+    for ell, lay in enumerate(skeleton.layers):
+        seed = _key_to_seed(jax.random.fold_in(key_theta, ell))
+        theta = host_dual_theta(seed, phis[ell], ys[ell], covs[ell])
+        new_layers.append(lay._replace(theta=jnp.asarray(theta, dtype=dtype)))
+    return skeleton._replace(layers=tuple(new_layers))
 
 
 def _deep_kernel_constrained(kernel):
@@ -144,7 +222,9 @@ def _deep_kernel_constrained(kernel):
     )
 
 
-def _sample_deep_layer(k_feat, k_theta, kernel, z, y, s, n_features, prior: bool):
+def _sample_deep_layer(
+    k_feat, k_theta, kernel, z, y, s, n_features, prior: bool, skip_theta: bool = False
+):
     """Deep-layer RFF sample (reference :364-444 posterior, :446-514 prior)."""
     d = z.shape[1] - 1  # x dims
     dtype = z.dtype
@@ -172,12 +252,10 @@ def _sample_deep_layer(k_feat, k_theta, kernel, z, y, s, n_features, prior: bool
         nu_lin=jnp.asarray(c["nu_lin"], dtype=dtype),
         theta=jnp.zeros((3 * n_features,), dtype=dtype),
     )
-    if prior:
-        theta = jax.random.normal(k_theta, (3 * n_features,), dtype=dtype)
-    else:
-        x_data, f_data = z[:, :-1], z[:, -1]
-        phi = _deep_features(sample, x_data, f_data, n_features)
-        theta = _posterior_theta(k_theta, phi, y, s)
+    if skip_theta:
+        return sample
+    assert prior, "posterior thetas are computed by the host dual-space pass"
+    theta = jax.random.normal(k_theta, (3 * n_features,), dtype=dtype)
     return sample._replace(theta=theta)
 
 
@@ -226,6 +304,16 @@ def sample_prior(
     return MFDGPFunctionSample(layers=tuple(layers))
 
 
+# sample_posterior is already hybrid (jitted features + host theta); keep the
+# name used by callers
+sample_posterior_jit = sample_posterior
+
+sample_prior_jit = jax.jit(
+    sample_prior,
+    static_argnames=("input_dims", "num_fidelities", "n_features", "dtype"),
+)
+
+
 def eval_sample(
     sample: MFDGPFunctionSample, x: Array, layer: Optional[int] = None
 ) -> Array:
@@ -254,3 +342,9 @@ def eval_sample_scalar(sample: MFDGPFunctionSample, x_single: Array) -> Array:
 
 
 eval_sample_grad = jax.grad(eval_sample_scalar, argnums=1)
+
+
+def eval_sample_fn(sample: MFDGPFunctionSample, x: Array) -> Array:
+    """Module-level top-layer evaluator with stable identity: used as the
+    `fn` of moop.SampledFunction so jit caches survive resampling."""
+    return eval_sample(sample, x)

@@ -1,0 +1,101 @@
+"""MFGP / MFGP_lin / ExactGP / MESMOC tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.acquisition.mesmoc import MESMOC_MFGP
+from mobocmf_tpu.models import exact_gp as EG
+from mobocmf_tpu.models import mfgp as G
+from mobocmf_tpu.models import mfgp_lin as GL
+
+
+def _mf_data(seed=0, n=24, d=2):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, d))
+    fid = (np.arange(n) % 2).astype(float)
+    y_true = np.sin(3 * x[:, 0]) + 0.5 * x[:, 1]
+    y = y_true + 0.3 * (fid == 0) * np.sin(9 * x[:, 1]) + 0.05 * rng.normal(size=n)
+    xf = np.concatenate([x, fid[:, None]], axis=1)
+    return jnp.asarray(xf), jnp.asarray(y)
+
+
+def test_mfgp_fit_reduces_nlml_and_predicts():
+    xf, y = _mf_data()
+    model = G.init_mfgp(xf, y, num_fidelities=2)
+    nlml0 = float(G.nlml(model.params, xf, y, model.jitter))
+    model = G.fit_mfgp(model, num_iters=150, lr=0.05)
+    nlml1 = float(G.nlml(model.params, xf, y, model.jitter))
+    assert nlml1 < nlml0
+
+    mean, var = G.predict(model, xf[:, :-1][:5], 1)
+    assert mean.shape == (5,) and var.shape == (5,)
+    assert np.all(np.asarray(var) > 0)
+    # predictions at training points of matching fidelity are close to targets
+    sel = np.asarray(xf[:, -1]) == 1
+    mean_tr, _ = G.predict(model, xf[sel, :-1], 1)
+    assert np.abs(np.asarray(mean_tr) - np.asarray(y)[sel]).mean() < 0.4
+
+
+def test_mfgp_rff_sample_tracks_posterior():
+    xf, y = _mf_data(seed=1)
+    model = G.fit_mfgp(G.init_mfgp(xf, y, 2), num_iters=150, lr=0.05)
+    keys = jax.random.split(jax.random.key(0), 48)
+    grid = jnp.asarray(np.random.default_rng(3).uniform(size=(10, 2)))
+    vals = np.stack(
+        [np.asarray(G.eval_mfgp_sample(G.sample_from_posterior(k, model, 1), grid)) for k in keys]
+    )
+    mean_emp = vals.mean(axis=0)
+    mean_post, var_post = G.predict(model, grid, 1)
+    err = np.abs(mean_emp - np.asarray(mean_post))
+    assert err.mean() < 3 * np.sqrt(np.asarray(var_post)).mean() + 0.15
+
+
+def test_mfgp_lin_fit_and_mean_function():
+    xf, y = _mf_data(seed=2)
+    model = GL.init_mfgp_lin(xf, y, num_fidelities=2)
+    n0 = float(GL.nlml(model.params, model))
+    model = GL.fit_mfgp_lin(model, num_iters=100, lr=0.05)
+    assert float(GL.nlml(model.params, model)) < n0
+
+    mean_fn = GL.get_mean_function_high_fidelity(model)
+    x_test = np.random.default_rng(4).uniform(size=(4, 2))
+    vals = mean_fn(x_test)
+    assert vals.shape == (4,)
+    grads = mean_fn(x_test, gradient=True)
+    assert grads.shape == (4, 2)
+    # finite-difference check of the gradient
+    h = 1e-5
+    e0 = np.zeros(2)
+    e0[0] = h
+    fd = (mean_fn(x_test + e0) - mean_fn(x_test - e0)) / (2 * h)
+    np.testing.assert_allclose(grads[:, 0], fd, rtol=1e-3, atol=1e-5)
+
+
+def test_exact_gp_interpolates():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(size=(15, 2)))
+    y = jnp.asarray(np.sin(4 * np.asarray(x)[:, 0]))
+    model = EG.fit_exact_gp(EG.init_exact_gp(x, y, initial_length_scale=0.3), num_iters=200)
+    mean, var = EG.predict(model, x)
+    assert np.abs(np.asarray(mean) - np.asarray(y)).mean() < 0.15
+
+
+def test_mesmoc_acquisition_shapes_and_signs():
+    xf, y = _mf_data(seed=6)
+    obj = G.fit_mfgp(G.init_mfgp(xf, y, 2), num_iters=50)
+    con = G.fit_mfgp(G.init_mfgp(xf, -y, 2), num_iters=50)
+    mes = MESMOC_MFGP(
+        objectives={"o": obj}, constraints={"c": con}, input_dim=2, num_fidelities=2,
+        best_objective_values={"o": float(np.asarray(y).min())},
+        constraint_thresholds={"c": 0.0},
+    )
+    for f in range(2):
+        mes.add_blackbox(f, "o", cost_evaluation=1.0 if f == 0 else 10.0)
+        mes.add_blackbox(f, "c", is_constraint=True)
+    grid = jnp.asarray(np.random.default_rng(7).uniform(size=(9, 2)))
+    acq = mes.coupled_acq(grid, 0)
+    assert acq.shape == (9,)
+    assert np.all(np.asarray(acq) >= 0.0)
+    x_next, f_next = mes.get_nextpoint_coupled(iteration=0)
+    assert x_next.shape == (2,) and 0 <= f_next < 2
