@@ -50,6 +50,7 @@ class BlackBoxMFDGPFitter:
         decoupled_evals: bool = False,
         type_lengthscale: TL = TL.MEDIAN,
         seed: int = 0,
+        whitened: bool = False,
     ):
         self.num_obj = 0
         self.num_con = 0
@@ -75,6 +76,7 @@ class BlackBoxMFDGPFitter:
         self.eps = eps
         self.decoupled_evals = decoupled_evals
         self.type_lengthscale = type_lengthscale
+        self.whitened = whitened
         self.key = jax.random.key(seed)
 
         self.pareto_solution: Optional[ParetoSolution] = None
@@ -114,6 +116,7 @@ class BlackBoxMFDGPFitter:
             type_lengthscale=self.type_lengthscale,
             use_only_highest_fidelity=use_only_highest_fidelity,
             previously_trained=previously_trained_model,
+            whitened=self.whitened,
         )
         if is_constraint:
             self.models_cons[blackbox_name] = model

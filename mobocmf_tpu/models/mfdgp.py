@@ -89,6 +89,9 @@ class MFDGPConfig(NamedTuple):
     only_hf: bool
     jitter: float
     num_samples_for_acquisition: int
+    # whitened inducing parameterization (BASELINE.json redesign): q(v) with
+    # u = chol(Kzz) v. Default False = reference (unwhitened) semantics.
+    whitened: bool = False
 
 
 class MFDGPModel(NamedTuple):
@@ -164,6 +167,7 @@ def init_mfdgp(
     use_only_highest_fidelity: bool = False,
     jitter: Optional[float] = None,
     previously_trained: Optional[MFDGPModel] = None,
+    whitened: bool = False,
 ) -> MFDGPModel:
     """Build a functional MFDGP for one blackbox."""
     x_train = jnp.asarray(x_train)
@@ -213,6 +217,44 @@ def init_mfdgp(
         else:
             cov0 = 1e-8 * jnp.eye(z_x.shape[0], dtype=dtype)
         variational = svgp.init_variational(m0, cov0, dtype=dtype)
+        if whitened:
+            # Convert the reference's unwhitened init into whitened coords:
+            # m_w = L_K^{-1} m, L_w = L_K^{-1} L_S, with K at the DYNAMIC init
+            # Z (last column = previous layer's chain mean, the value the
+            # forward pass will actually resolve — not the static `values`
+            # column), so the initial posterior matches the unwhitened model
+            # exactly.
+            import scipy.linalg as _spla
+
+            gram, _ = _layer_fns(ell, use_only_highest_fidelity)
+            if ell == 0:
+                z_dyn = z_x
+            elif use_only_highest_fidelity:
+                z_dyn = jnp.concatenate(
+                    [z_x, jnp.zeros((z_x.shape[0], 1), dtype=dtype)], 1
+                )
+            else:
+                z_dyn = jnp.concatenate([z_x, chain_prev[:, None]], 1)
+            k_dyn = np.asarray(
+                gram(kparams, z_dyn, z_dyn), dtype=np.float64
+            ) + jitter * np.eye(z_x.shape[0])
+            lk_np = np.linalg.cholesky(k_dyn)
+            m_np = np.asarray(variational.mean, dtype=np.float64)
+            m_w = _spla.solve_triangular(lk_np, m_np, lower=True)
+            l_w = _spla.solve_triangular(
+                lk_np, np.asarray(variational.chol_raw, dtype=np.float64), lower=True
+            )
+            variational = svgp.SVGPVariational(
+                mean=jnp.asarray(m_w, dtype=dtype), chol_raw=jnp.asarray(l_w, dtype=dtype)
+            )
+            # chain mean of THIS layer at its dynamic init Z (for the next
+            # layer's conversion): m - jitter * K^{-1} m in function space
+            chain_prev = jnp.asarray(
+                m_np
+                - jitter
+                * _spla.cho_solve((lk_np, True), m_np),
+                dtype=dtype,
+            )
         layers.append(MFDGPLayerParams(kernel=kparams, variational=variational))
 
         # per-fidelity likelihood (reference mfdgp.py:113-123)
@@ -242,6 +284,7 @@ def init_mfdgp(
         only_hf=use_only_highest_fidelity,
         jitter=float(jitter),
         num_samples_for_acquisition=num_samples_for_acquisition,
+        whitened=whitened,
     )
     return MFDGPModel(params=params, consts=consts, config=config)
 
@@ -293,7 +336,12 @@ def compute_layer_states(
         states.append(LayerState(z=z, lk=lk))
         if ell + 1 < config.num_fidelities and not config.only_hf:
             m = lp.variational.mean
-            chain_mean = m - config.jitter * _cho_solve_vec(lk, m)
+            if config.whitened:
+                # mu(Z) = Kzz_nojit L^{-T} m_w = L m_w - jitter * L^{-T} m_w
+                lt_inv_m = solve_triangular(lk.T, m[:, None], lower=False)[:, 0]
+                chain_mean = lk @ m - config.jitter * lt_inv_m
+            else:
+                chain_mean = m - config.jitter * _cho_solve_vec(lk, m)
     return states
 
 
@@ -326,7 +374,8 @@ def forward(
         else:
             prev = jnp.zeros_like(f_prev) if config.only_hf else f_prev
             x_in = jnp.concatenate([x, prev[:, None]], axis=1)
-        mu, var, _ = svgp.predict_diag(
+        predict = svgp.predict_diag_whitened if config.whitened else svgp.predict_diag
+        mu, var, _ = predict(
             gram, diag, lp.kernel, lp.variational, st.z, x_in, config.jitter, lk=st.lk
         )
         outputs.append((mu, var))
@@ -347,9 +396,13 @@ def kl_all_layers(
     for ell in range(config.num_fidelities):
         gram, _ = _layer_fns(ell, config.only_hf)
         lp = params.layers[ell]
-        total = total + svgp.kl_divergence(
-            gram, lp.kernel, lp.variational, states[ell].z, config.jitter, lk=states[ell].lk
-        )
+        if config.whitened:
+            total = total + svgp.kl_divergence_whitened(lp.variational)
+        else:
+            total = total + svgp.kl_divergence(
+                gram, lp.kernel, lp.variational, states[ell].z, config.jitter,
+                lk=states[ell].lk,
+            )
     return total
 
 

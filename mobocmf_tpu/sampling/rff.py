@@ -143,6 +143,12 @@ def _sample_posterior_features(
         z = states[ell].z
         y = lp.variational.mean
         ls_chol = svgp.tril(lp.variational.chol_raw)
+        if config.whitened:
+            # convert whitened q(v) to function-value space: m = L_K m_w,
+            # L_S = L_K L_w (the RFF weight posterior consumes unwhitened m, S)
+            lk = states[ell].lk
+            y = jnp.matmul(lk, y, precision=jax.lax.Precision.HIGHEST)
+            ls_chol = jnp.matmul(lk, ls_chol, precision=jax.lax.Precision.HIGHEST)
         s = jnp.matmul(ls_chol, ls_chol.T, precision=jax.lax.Precision.HIGHEST)
         key, k_feat = jax.random.split(key)
         if ell == 0:

@@ -1,0 +1,59 @@
+"""Whitened-parameterization MFDGP tests: init-time equivalence + training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.fit import trainer
+from mobocmf_tpu.mlls.elbo import elbo_terms
+from mobocmf_tpu.models import mfdgp as M
+
+
+def _data(seed=0, n=12, d=2):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=n))
+    fid = jnp.asarray(np.arange(n) % 2)
+    return x, y, fid
+
+
+def test_whitened_matches_unwhitened_at_init():
+    """At initialization the whitened model must produce the same posterior
+    and ELBO as the unwhitened one (same q(u), different coordinates)."""
+    x, y, fid = _data()
+    mu_model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=False)
+    mw_model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=True)
+
+    eps = M.sample_eps(jax.random.key(1), mu_model.config, x.shape[0], x.dtype)
+    outs_u = M.forward(mu_model.params, mu_model.consts, mu_model.config, x, eps)
+    outs_w = M.forward(mw_model.params, mw_model.consts, mw_model.config, x, eps)
+    for (mu_u, var_u), (mu_w, var_w) in zip(outs_u, outs_w):
+        np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_u), rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_u), rtol=1e-5, atol=1e-8)
+
+    e_u, kl_u = elbo_terms(mu_model.params, mu_model.consts, mu_model.config, x, y, fid, eps, x.shape[0])
+    e_w, kl_w = elbo_terms(mw_model.params, mw_model.consts, mw_model.config, x, y, fid, eps, x.shape[0])
+    np.testing.assert_allclose(float(e_w), float(e_u), rtol=1e-6)
+    np.testing.assert_allclose(float(kl_w), float(kl_u), rtol=1e-6)
+
+
+def test_whitened_training_improves_elbo():
+    x, y, fid = _data(seed=1)
+    model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=True)
+    p, logs = trainer.train_phase_jit(
+        model.params, model.consts, model.config, x, y, fid,
+        jax.random.key(1), 30, 0.003, trainer.mask_all_free(model.params), x.shape[0],
+    )
+    loss = np.asarray(logs.loss)
+    assert np.all(np.isfinite(loss))
+    assert loss[-1] < loss[0]
+
+
+def test_whitened_rff_sampling_finite():
+    from mobocmf_tpu.sampling import rff
+
+    x, y, fid = _data(seed=2)
+    model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=True)
+    s = rff.sample_posterior(jax.random.key(3), model.params, model.consts, model.config)
+    vals = rff.eval_sample(s, x)
+    assert np.all(np.isfinite(np.asarray(vals)))
