@@ -176,11 +176,19 @@ class BlackBoxMFDGPFitter:
 
     # -- Pareto sampling -----------------------------------------------------------
 
+    def _sample_models(self, names, models_dict):
+        """Vmapped pathwise sampling over the (same-shaped) blackbox models."""
+        models = [models_dict[n] for n in names]
+        if len(models) == 1:
+            m = models[0]
+            return [rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)]
+        sp, sc, config = trainer.stack_models(models)
+        return rff.sample_posterior_stacked(
+            self._next_key(), sp, sc, config, len(models)
+        )
+
     def _sample_and_store_pareto_solution(self):
-        l_samples_objs = [
-            rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
-            for m in (self.models_objs[n] for n in self.obj_names)
-        ]
+        l_samples_objs = self._sample_models(self.obj_names, self.models_objs)
         obj_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_objs]
 
         global_optimizer = None
@@ -189,15 +197,13 @@ class BlackBoxMFDGPFitter:
                 # NaN-defense beyond the reference: objective samples are drawn
                 # once outside this loop (:181-186); if they are degenerate the
                 # retry loop would spin forever, so refresh them occasionally
-                l_samples_objs = [
-                    rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
-                    for m in (self.models_objs[n] for n in self.obj_names)
-                ]
+                l_samples_objs = self._sample_models(self.obj_names, self.models_objs)
                 obj_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_objs]
-            l_samples_cons = [
-                rff.sample_posterior_jit(self._next_key(), m.params, m.consts, m.config)
-                for m in (self.models_cons[n] for n in self.con_names)
-            ]
+            l_samples_cons = (
+                self._sample_models(self.con_names, self.models_cons)
+                if self.con_names
+                else []
+            )
             con_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_cons]
 
             global_optimizer = MOOP(

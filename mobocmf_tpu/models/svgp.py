@@ -116,10 +116,11 @@ def predict_diag(
     kxx = kernel_diag(kparams, x)
     # diag(Kxz Kzz^-1 Kzx) = colsum(w^2)
     v1 = jnp.sum(w * w, axis=0)
-    # diag(A^T S A) with A = L^{-T} w: B = L_S^T A => colsum(B^2)
+    # diag(A^T S A) = colsum(((L^{-1} L_S)^T w)^2): one MxM solve instead of
+    # an MxN upper solve — cheaper for the 25x-tiled acquisition path
     ls = tril(var.chol_raw)
-    a = solve_triangular(lk.T, w, lower=False)  # A = Kzz^{-1} Kzx
-    b = jnp.matmul(ls.T, a, precision=jax.lax.Precision.HIGHEST)
+    w_ls = tri_solve_lower(lk, ls)  # (M, M)
+    b = jnp.matmul(w_ls.T, w, precision=jax.lax.Precision.HIGHEST)
     v2 = jnp.sum(b * b, axis=0)
     pred_var = kxx - v1 + v2
     return mu, jnp.maximum(pred_var, 1e-12), lk

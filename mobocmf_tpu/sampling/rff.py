@@ -314,6 +314,44 @@ def sample_prior(
 # name used by callers
 sample_posterior_jit = sample_posterior
 
+
+def sample_posterior_stacked(
+    key: jax.Array,
+    stacked_params,
+    stacked_consts,
+    config: M.MFDGPConfig,
+    num_models: int,
+    n_features: int = cfg.RFF_NUM_FEATURES,
+):
+    """Vmapped pathwise sampling over stacked blackboxes (BASELINE config #4:
+    'vmapped Pareto sampling'). One device program draws every model's
+    features; the tiny MxM dual solves loop on host."""
+    from mobocmf_tpu.fit.trainer import CONSTS_AXES
+
+    keys = jax.random.split(key, num_models + 1)
+    feat_keys, key_theta = keys[:num_models], keys[num_models]
+    vmapped = jax.jit(
+        jax.vmap(
+            _sample_posterior_features,
+            in_axes=(0, 0, CONSTS_AXES, None, None),
+        ),
+        static_argnames=("config", "n_features"),
+    )
+    skeletons, phis, ys, covs = vmapped(
+        feat_keys, stacked_params, stacked_consts, config, n_features
+    )
+    dtype = stacked_consts.z_x[0].dtype
+    samples = []
+    for i in range(num_models):
+        new_layers = []
+        for ell in range(config.num_fidelities):
+            lay = jax.tree.map(lambda a, i=i: a[i], skeletons.layers[ell])
+            seed = _key_to_seed(jax.random.fold_in(key_theta, i * 131 + ell))
+            theta = host_dual_theta(seed, phis[ell][i], ys[ell][i], covs[ell][i])
+            new_layers.append(lay._replace(theta=jnp.asarray(theta, dtype=dtype)))
+        samples.append(MFDGPFunctionSample(layers=tuple(new_layers)))
+    return samples
+
 sample_prior_jit = jax.jit(
     sample_prior,
     static_argnames=("input_dims", "num_fidelities", "n_features", "dtype"),

@@ -1,0 +1,107 @@
+"""Conditioned-training factor tests vs manual numpy/scipy computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm as scipy_norm
+
+from mobocmf_tpu.fit.conditioned import loss_omega_factors, loss_theta_factors
+
+
+def test_theta_factors_match_reference_formula():
+    """Reference blackbox_mfdgp_fitter.py:227-233."""
+    rng = np.random.default_rng(0)
+    p = 7
+    mean = rng.normal(size=p)
+    var = rng.uniform(0.1, 2.0, size=p)
+    thr, eps = 0.3, 1e-8
+    got = float(
+        loss_theta_factors(
+            jnp.asarray(mean), jnp.asarray(var), jnp.asarray(thr), eps,
+            jnp.ones(p, dtype=bool),
+        )
+    )
+    gamma = (mean - thr) / np.sqrt(var)
+    cdf = scipy_norm.cdf(gamma)
+    want = np.sum(np.log(1 - eps) * cdf + np.log(eps) * (1 - cdf))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_theta_factors_mask_excludes_rows():
+    mean = jnp.asarray([0.0, 100.0])
+    var = jnp.ones(2)
+    full = float(loss_theta_factors(mean, var, jnp.asarray(0.0), 1e-8, jnp.ones(2, dtype=bool)))
+    masked = float(
+        loss_theta_factors(mean, var, jnp.asarray(0.0), 1e-8, jnp.asarray([True, False]))
+    )
+    # the second point is (almost) surely feasible: contributes log(1-eps) ~ 0
+    assert abs(full - masked) < 1e-6
+    masked0 = float(
+        loss_theta_factors(mean, var, jnp.asarray(0.0), 1e-8, jnp.asarray([False, True]))
+    )
+    assert abs(masked0 - (full - masked0)) > 1.0  # first point carries the loss
+
+
+def test_omega_factors_match_reference_formula():
+    """Reference blackbox_mfdgp_fitter.py:235-243."""
+    rng = np.random.default_rng(1)
+    k_obj, n_con, p, j = 2, 2, 5, 10
+    fs_mean = rng.normal(size=(k_obj, j))
+    fs_var = rng.uniform(0.1, 2.0, size=(k_obj, j))
+    cs_mean = rng.normal(size=(n_con, j))
+    cs_var = rng.uniform(0.1, 2.0, size=(n_con, j))
+    thr = rng.normal(size=n_con)
+    front = rng.normal(size=(p, k_obj))
+    eps = 1e-8
+
+    got = float(
+        loss_omega_factors(
+            jnp.asarray(fs_mean), jnp.asarray(fs_var), jnp.asarray(cs_mean),
+            jnp.asarray(cs_var), jnp.asarray(thr), jnp.asarray(front),
+            jnp.ones(p, dtype=bool), eps,
+        )
+    )
+    gamma_c = (cs_mean - thr[:, None]) / np.sqrt(cs_var)
+    gamma_f = (front[:, :, None] - fs_mean[None]) / np.sqrt(fs_var[None])
+    q = scipy_norm.cdf(gamma_c).prod(axis=0)[None, :] * scipy_norm.cdf(gamma_f).prod(axis=1)
+    want = np.sum(np.log(eps) * q + np.log(1 - eps) * (1 - q))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_only_hf_mode_trains():
+    """use_only_highest_fidelity ablation: independent per-layer GPs of x."""
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.models import mfdgp as M
+
+    rng = np.random.default_rng(2)
+    n, d = 12, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=n))
+    fid = jnp.asarray(np.arange(n) % 2)
+    model = M.init_mfdgp(
+        jax.random.key(0), x, y[:, None], fid, 2, use_only_highest_fidelity=True
+    )
+    # per-layer inducing sets in only-HF mode (reference mfdgp.py:295-296)
+    assert model.consts.z_x[0].shape[0] == int((np.asarray(fid) == 0).sum())
+    assert model.consts.z_x[1].shape[0] == int((np.asarray(fid) == 1).sum())
+    p, logs = trainer.train_phase_jit(
+        model.params, model.consts, model.config, x, y, fid,
+        jax.random.key(1), 20, 0.003, trainer.mask_all_free(model.params), n,
+    )
+    loss = np.asarray(logs.loss)
+    assert np.all(np.isfinite(loss)) and loss[-1] < loss[0]
+
+    # propagation is zeroed: layer-1 output must not depend on layer-0 params
+    eps = M.sample_eps(jax.random.key(2), model.config, n, x.dtype)
+
+    def layer1_mean_sum(m0):
+        layers = list(p.layers)
+        layers[0] = layers[0]._replace(
+            variational=layers[0].variational._replace(mean=m0)
+        )
+        pp = p._replace(layers=tuple(layers))
+        outs = M.forward(pp, model.consts, model.config, x, eps)
+        return jnp.sum(outs[1][0])
+
+    g = jax.grad(layer1_mean_sum)(p.layers[0].variational.mean)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
