@@ -57,6 +57,10 @@ class BOConfig:
     seed: int = 4
     log_dir: Optional[str] = None
     hv_reference: Optional[np.ndarray] = None  # reference point for HV logging
+    # model-based recommendation + HV-vs-optimal scoring per iteration
+    # (reference toy:533-614; needs true-function access, so optional)
+    track_recommendation: bool = False
+    recommendation_grid_size: int = 1000
 
 
 @dataclasses.dataclass
@@ -169,6 +173,19 @@ def run_bo_loop(
         print(f"[BO iter {it}] fidelity={fid_next} x={x_next.ravel()} HV={hv:.6f}")
         sys.stdout.flush()
 
+        if config.track_recommendation:
+            rec_set, hv_rec, hv_opt = recommend_and_score(
+                fitter, blackboxes, stats, config,
+                grid_size=config.recommendation_grid_size, seed=config.seed + it,
+            )
+            print(
+                f"[BO iter {it}] recommended {rec_set.shape[0]} points, "
+                f"HV={hv_rec:.6f} / optimal {hv_opt:.6f}"
+            )
+            if log_dir is not None:
+                with open(os.path.join(log_dir, "hypervolume_solution.txt"), "a") as fh:
+                    fh.write(f"{hv_rec} {hv_opt}\n")
+
         if log_dir is not None:
             with open(os.path.join(log_dir, "points_evaluated.txt"), "a") as fh:
                 np.savetxt(fh, x_next)
@@ -179,6 +196,90 @@ def run_bo_loop(
         if callback is not None:
             callback(it, state)
     return state
+
+
+def recommend_and_score(
+    fitter,
+    blackboxes: Sequence[Blackbox],
+    stats: Dict[str, Tuple[float, float]],
+    config: BOConfig,
+    grid_size: int = 1000,
+    feasibility_prob: float = 0.999,
+    seed: int = 0,
+) -> Tuple[np.ndarray, float, float]:
+    """Model-based recommendation + true-function hypervolume scoring.
+
+    Reference toy_synthetic_2D_JESMOCMF.py:533-614: take a shared grid, keep
+    points the MODEL deems feasible with P > 0.999 (via the top-fidelity
+    predictive), Pareto-cull the model means, then score the TRUE functions'
+    HV at the recommended set against the optimal HV on the same grid.
+
+    Returns (recommended_set, hv_recommended, hv_optimal)."""
+    import jax as _jax
+
+    from mobocmf_tpu.models import mfdgp as M
+    from mobocmf_tpu.moop.moop import pareto_front_mask
+    from scipy.stats import norm as _norm
+
+    d = fitter.x_train.shape[1]
+    rng = np.random.default_rng(seed)
+    grid = rng.uniform(size=(grid_size, d))
+    grid_j = jnp.asarray(grid, dtype=fitter.x_train.dtype)
+    top = config.num_fidelities - 1
+
+    objs = [bb for bb in blackboxes if not bb.is_constraint]
+    cons = [bb for bb in blackboxes if bb.is_constraint]
+
+    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint
+    feasible = np.ones(grid_size, dtype=bool)
+    for bb in cons:
+        model = fitter.get_model(bb.name, is_constraint=True)
+        mu, var = M.predict_for_acquisition(
+            model.params, model.consts, model.config, grid_j, top
+        )
+        mean_s, std_s = stats[bb.name]
+        thr_std = (bb.threshold - mean_s) / std_s
+        p_feas = 1.0 - _norm.cdf((thr_std - np.asarray(mu)) / np.sqrt(np.asarray(var)))
+        feasible &= p_feas > feasibility_prob
+    if not feasible.any():
+        return np.zeros((0, d)), 0.0, 0.0
+
+    # model-mean Pareto cull
+    means = []
+    for bb in objs:
+        model = fitter.get_model(bb.name)
+        mu, _ = M.predict_for_acquisition(
+            model.params, model.consts, model.config, grid_j, top
+        )
+        mean_s, std_s = stats[bb.name]
+        means.append(np.asarray(mu) * std_s + mean_s)
+    means = np.stack(means, axis=1)
+    mask = np.asarray(
+        pareto_front_mask(jnp.asarray(means), jnp.asarray(feasible))
+    )
+    rec_set = grid[mask]
+
+    # score with the TRUE functions
+    def true_front(pts):
+        vals = np.stack(
+            [np.asarray(bb.fns[top](pts)).reshape(-1) for bb in objs], axis=1
+        )
+        feas = np.ones(pts.shape[0], dtype=bool)
+        for bb in cons:
+            feas &= np.asarray(bb.fns[top](pts)).reshape(-1) >= bb.threshold
+        return vals[feas]
+
+    ref = (
+        np.asarray(config.hv_reference, dtype=float)
+        if config.hv_reference is not None
+        else np.array([1000.0] * len(objs))  # reference point (1000,1000), toy:592
+    )
+    hv_rec = hypervolume(true_front(rec_set), ref) if rec_set.shape[0] else 0.0
+
+    # optimal HV on the same grid (true-feasible true-Pareto points)
+    tf = true_front(grid)
+    hv_opt = hypervolume(tf, ref) if tf.shape[0] else 0.0
+    return rec_set, hv_rec, hv_opt
 
 
 def _observed_hypervolume(blackboxes, state: BOState, config: BOConfig) -> float:
