@@ -181,6 +181,64 @@ class SampledFunction:
 
 
 _CONS_STACK_CACHE: dict = {}
+_DEVICE_POLISH_CACHE: dict = {}
+
+
+def _device_polish_factory(obj_fn, con_fns, input_dim: int, iters: int = 100):
+    """On-device constrained polish: multi-start projected Adam on a penalty
+    objective, with the reference's verify-improvement-and-feasibility accept
+    logic folded into the same program (moop.py:72-139 semantics, no host
+    SLSQP roundtrips). Cached per (obj_fn, con_fns) identity."""
+    import optax
+
+    def polish(obj_tree, con_trees, x0, best_val, feasible_values):
+        # x0: (R, d) starts; returns (x_best (d,), improved&feasible flag)
+        mu_pen = 1e6  # equilibrium violation ~ |grad|/(2 mu) << the 1e-6 accept tol
+
+        def obj_at(x):
+            return obj_fn(obj_tree, x[None, :])[0]
+
+        def cons_at(x):
+            if not con_fns:
+                return jnp.zeros((0,), dtype=x.dtype)
+            return jnp.stack(
+                [f(t, x[None, :])[0] for f, t in zip(con_fns, con_trees)]
+            )
+
+        def loss(z):
+            x = jax.nn.sigmoid(z)
+            viol = jnp.maximum(feasible_values - cons_at(x), 0.0)
+            return obj_at(x) + mu_pen * jnp.sum(viol**2)
+
+        solver = optax.lbfgs()
+        value_and_grad = optax.value_and_grad_from_state(loss)
+
+        def run_one(x0_i):
+            z0 = jnp.log(jnp.clip(x0_i, 1e-6, 1 - 1e-6)) - jnp.log1p(
+                -jnp.clip(x0_i, 1e-6, 1 - 1e-6)
+            )
+
+            def step(carry, _):
+                z, s = carry
+                value, grad = value_and_grad(z, state=s)
+                updates, s = solver.update(
+                    grad, s, z, value=value, grad=grad, value_fn=loss
+                )
+                return (optax.apply_updates(z, updates), s), None
+
+            (z, _), _ = jax.lax.scan(step, (z0, solver.init(z0)), None, length=iters)
+            x = jnp.clip(jax.nn.sigmoid(z), 0.0, 1.0)
+            val = obj_at(x)
+            feas = jnp.all(cons_at(x) - feasible_values >= -1e-6)
+            return x, val, feas
+
+        xs, vals, feass = jax.vmap(run_one)(x0)
+        score = jnp.where(feass, vals, jnp.inf)
+        best = jnp.argmin(score)
+        improved = (score[best] < best_val) & feass[best]
+        return xs[best], improved
+
+    return jax.jit(polish)
 
 
 def _cons_stack_eval(cons: Sequence, x):
@@ -221,6 +279,7 @@ class MOOP:
         feasible_values=0.0,
         min_distance_between_points: float = 1e-6,
         use_slsqp_polish: bool = True,
+        polish: str = "slsqp",  # "slsqp" (reference semantics) | "device" | "none"
         mesh=None,
     ):
         self.samples_objs = list(samples_objs)
@@ -233,6 +292,7 @@ class MOOP:
             feasible_values = np.ones(max(len(self.samples_cons), 1)) * feasible_values
         self.feasible_values = np.asarray(feasible_values, dtype=float)
         self.use_slsqp_polish = use_slsqp_polish
+        self.polish = polish if use_slsqp_polish else "none"
         self.mesh = mesh  # optional jax.sharding.Mesh: shards grid evals over 'dp'
 
         # plain callables get wrapped so everything downstream sees the
@@ -314,6 +374,34 @@ class MOOP:
                 return opt_x[None]
         return None
 
+    def optimize_obj_globally_device(
+        self, obj_idx: int, obj_evals: np.ndarray, feasible_mask: np.ndarray,
+        grid: np.ndarray, key, num_starts: int = 5,
+    ) -> Optional[np.ndarray]:
+        """On-device polish (multi-start penalty Adam). Same accept semantics
+        as the SLSQP path: returns the point only if it improves on the best
+        feasible grid value and is feasible."""
+        obj = self._objs[obj_idx]
+        cache_key = (obj.fn, tuple(c.fn for c in self._cons), self.input_dim)
+        if cache_key not in _DEVICE_POLISH_CACHE:
+            _DEVICE_POLISH_CACHE[cache_key] = _device_polish_factory(
+                obj.fn, tuple(c.fn for c in self._cons), self.input_dim
+            )
+        polish = _DEVICE_POLISH_CACHE[cache_key]
+
+        masked = np.where(feasible_mask, obj_evals, np.inf)
+        order = np.argsort(masked)[:num_starts]
+        x0 = jnp.asarray(grid[order])
+        best_val = float(masked[order[0]])
+        con_trees = tuple(c.tree for c in self._cons)
+        x_best, improved = polish(
+            obj.tree, con_trees, x0, jnp.asarray(best_val),
+            jnp.asarray(self.feasible_values, dtype=x0.dtype),
+        )
+        if bool(improved):
+            return np.asarray(x_best, dtype=float)[None]
+        return None
+
     # -- main entry ------------------------------------------------------------
 
     def compute_pareto_solution_from_samples(
@@ -357,10 +445,16 @@ class MOOP:
             return None
 
         # per-objective polish; append accepted optima to the grid
-        if self.use_slsqp_polish:
+        if self.polish != "none":
             new_pts: List[np.ndarray] = []
             for i in range(len(self._objs)):
-                opt_x = self.optimize_obj_globally(i, obj_evals[i], feasible, grid)
+                if self.polish == "device":
+                    key, kp = jax.random.split(key)
+                    opt_x = self.optimize_obj_globally_device(
+                        i, obj_evals[i], feasible, grid, kp
+                    )
+                else:
+                    opt_x = self.optimize_obj_globally(i, obj_evals[i], feasible, grid)
                 if opt_x is not None:
                     d = np.sqrt(((grid - opt_x) ** 2).sum(axis=1)).min()
                     if d > self.min_distance_between_points:

@@ -98,3 +98,27 @@ def test_moop_infeasible_returns_none_then_fallback():
         inputs, jax.random.key(0), allow_negative_constraints=True
     )
     assert res is not None
+
+
+def test_device_polish_matches_slsqp_quality():
+    """The on-device polish must find the constrained optimum like SLSQP."""
+
+    def f1(x):
+        return (x[:, 0] - 0.4) ** 2 + (x[:, 1] - 0.6) ** 2
+
+    def c1(x):  # feasible iff x2 <= 0.5
+        return 0.5 - x[:, 1]
+
+    inputs = np.random.default_rng(3).uniform(size=(4, 2))
+    sols = {}
+    for mode in ("slsqp", "device"):
+        moop = MOOP([f1], [c1], input_dim=2, grid_size=100, pareto_set_size=4,
+                    feasible_values=np.zeros(1), polish=mode)
+        res = moop.compute_pareto_solution_from_samples(inputs, jax.random.key(1))
+        assert res is not None
+        sol, _, _ = res
+        front = np.asarray(sol.pareto_front)[np.asarray(sol.mask)]
+        sols[mode] = front.min()
+    # constrained optimum: x = (0.4, 0.5), f = 0.01
+    assert abs(sols["device"] - 0.01) < 2e-3
+    assert abs(sols["slsqp"] - 0.01) < 2e-3
