@@ -61,6 +61,10 @@ class BOConfig:
     # (reference toy:533-614; needs true-function access, so optional)
     track_recommendation: bool = False
     recommendation_grid_size: int = 1000
+    # warm start each iteration from the previous iteration's trained models
+    # (the reference ships this machinery commented out, toy:333-357; same
+    # default: off)
+    warm_start: bool = False
 
 
 @dataclasses.dataclass
@@ -122,6 +126,7 @@ def run_bo_loop(
             state.hypervolumes = list(np.atleast_1d(np.loadtxt(hv_file)))
             start_iter = len(state.hypervolumes)
 
+    prev_fitter = None
     for it in range(start_iter, config.num_bo_iterations):
         n = state.x.shape[0]
         batch_size = config.batch_size or n
@@ -137,13 +142,20 @@ def run_bo_loop(
             y_std, mean, std = _standardize(state.ys[bb.name])
             stats[bb.name] = (mean, std)
             thr = (bb.threshold - mean) / std if bb.is_constraint else 0.0
+            prev_model = (
+                prev_fitter.get_model(bb.name, is_constraint=bb.is_constraint)
+                if (config.warm_start and prev_fitter is not None)
+                else None
+            )
             fitter.initialize_mfdgp(
                 jnp.asarray(state.x), jnp.asarray(y_std[:, None]),
                 jnp.asarray(state.fidelities), bb.name,
                 threshold_constraint=thr, is_constraint=bb.is_constraint,
+                previously_trained_model=prev_model,
             )
 
         fitter.train_mfdgps()
+        prev_fitter = fitter
         cond = fitter.copy_uncond()
         cond.sample_and_store_pareto_solution()
         cond.train_conditioned_mfdgps()

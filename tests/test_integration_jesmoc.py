@@ -96,3 +96,30 @@ def test_full_jesmoc_pipeline(problem, trained_fitter):
     assert x_next.shape == (2,)
     assert 0 <= fid_next < 2
     assert np.all((np.asarray(x_next) >= 0) & (np.asarray(x_next) <= 1))
+
+
+def test_warm_start_restores_kernel_state(problem):
+    """previously_trained_model restores kernel raw params + acq eps
+    (reference mfdgp_hidden_layer.py:122-123, :158-159)."""
+    import jax as _jax
+    from mobocmf_tpu.models import mfdgp as M
+
+    x, fid, ys, _ = problem
+    m1 = M.init_mfdgp(_jax.random.key(0), x, ys[0][:, None], fid, 2)
+    # pretend training moved the kernels
+    moved = _jax.tree.map(lambda a: a + 0.37, m1.params.layers[0].kernel)
+    layers = list(m1.params.layers)
+    layers[0] = layers[0]._replace(kernel=moved)
+    m1 = m1._replace(params=m1.params._replace(layers=tuple(layers)))
+
+    m2 = M.init_mfdgp(
+        _jax.random.key(9), x, ys[1][:, None], fid, 2, previously_trained=m1
+    )
+    for a, b in zip(
+        _jax.tree.leaves(m2.params.layers[0].kernel),
+        _jax.tree.leaves(m1.params.layers[0].kernel),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(m2.consts.acq_eps), np.asarray(m1.consts.acq_eps)
+    )
