@@ -99,3 +99,21 @@ def test_mesmoc_acquisition_shapes_and_signs():
     assert np.all(np.asarray(acq) >= 0.0)
     x_next, f_next = mes.get_nextpoint_coupled(iteration=0)
     assert x_next.shape == (2,) and 0 <= f_next < 2
+
+
+def test_random_choice_baseline():
+    from mobocmf_tpu.acquisition.random_choice import Random_choice
+
+    rc = Random_choice(input_size=3, num_fidelities=2, seed=0)
+    rc.add_blackbox(0, "obj1", cost_evaluation=1.0)
+    rc.add_blackbox(1, "obj1", cost_evaluation=10.0)
+    counts = np.zeros(2)
+    for _ in range(60):
+        x, f = rc.get_nextpoint_coupled()
+        assert x.shape == (3,)
+        assert np.all((np.asarray(x) >= 0) & (np.asarray(x) <= 1))
+        counts[f] += 1
+    # P(fidelity) proportional to 1 - cost/total: f0 ~ 10/11, f1 ~ 1/11
+    assert counts[0] > counts[1]
+    acq = rc.coupled_acq(jnp.ones((5, 3)), 0)
+    assert acq.shape == (5,)
