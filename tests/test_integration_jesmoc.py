@@ -123,3 +123,43 @@ def test_warm_start_restores_kernel_state(problem):
     np.testing.assert_array_equal(
         np.asarray(m2.consts.acq_eps), np.asarray(m1.consts.acq_eps)
     )
+
+
+def test_bo_loop_one_iteration(tmp_path):
+    """Library BO loop: one iteration end-to-end with recommendation scoring
+    and file-based resume artifacts."""
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    def make(shift):
+        return [
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2 + 0.3),
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2),
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make(0.25)),
+        Blackbox("obj2", make(0.75)),
+        Blackbox("con1", [lambda xs: 0.9 - np.atleast_2d(xs)[:, 1],
+                          lambda xs: 0.9 - np.atleast_2d(xs)[:, 1]],
+                 is_constraint=True, threshold=0.0),
+    ]
+    rng = np.random.default_rng(0)
+    x_init = rng.uniform(size=(12, 2))
+    fid_init = np.concatenate([np.zeros(8), np.ones(4)]).astype(int)
+    config = BOConfig(
+        num_bo_iterations=1, num_epochs_1=5, num_epochs_2=8,
+        opt_grid_size=25, pareto_set_size=6, seed=1,
+        log_dir=str(tmp_path), track_recommendation=True,
+        recommendation_grid_size=200,
+        hv_reference=np.array([10.0, 10.0]),
+    )
+    state = run_bo_loop(blackboxes, x_init, fid_init, config)
+    assert state.x.shape[0] == 13
+    assert len(state.hypervolumes) == 1
+    assert (tmp_path / "points_evaluated.txt").exists()
+    assert (tmp_path / "hypervolume_solution.txt").exists()
+    hv_rec, hv_opt = np.loadtxt(tmp_path / "hypervolume_solution.txt")
+    assert hv_opt >= hv_rec >= 0.0
+    assert np.isfinite(hv_opt) and hv_opt > 0
