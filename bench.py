@@ -25,7 +25,7 @@ import numpy as np
 
 N_DATA = 128
 D = 2
-STEPS = 200
+STEPS = 1000  # long enough to amortize dispatch: reports the SUSTAINED rate
 
 
 def log(*a):
