@@ -125,7 +125,7 @@ def _pallas_cholesky(a: Array, n_padded: int) -> Array:
     return pl.pallas_call(
         _chol_kernel,
         out_shape=jax.ShapeDtypeStruct((n_padded, n_padded), a.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY if False else pltpu.VMEM)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((n_padded, n_padded), a.dtype)],
         interpret=interpret,
