@@ -105,3 +105,48 @@ def test_only_hf_mode_trains():
 
     g = jax.grad(layer1_mean_sum)(p.layers[0].variational.mean)
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
+
+
+def test_only_hf_fitter_pipeline():
+    """Fitter-level only-HF ablation: train + pareto sample end-to-end."""
+    from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+
+    rng = np.random.default_rng(5)
+    n, d = 14, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray(np.arange(n) % 2)
+    fitter = BlackBoxMFDGPFitter(2, batch_size=n, num_epochs_1=3, num_epochs_2=4,
+                                 opt_grid_size=20, pareto_set_size=4)
+    fitter.initialize_mfdgp(
+        x, jnp.asarray(rng.normal(size=(n, 1))), fid, "obj1",
+        use_only_highest_fidelity=True,
+    )
+    fitter.train_mfdgps()
+    sol = fitter.sample_and_store_pareto_solution()
+    assert sol.num_valid >= 1
+    assert np.all(np.isfinite(np.asarray(sol.pareto_front)[np.asarray(sol.mask)]))
+
+
+def test_describe_hyperparams():
+    from mobocmf_tpu.models import mfdgp as M
+    from mobocmf_tpu.util.describe import describe_hyperparams
+
+    rng = np.random.default_rng(6)
+    n = 10
+    x = jnp.asarray(rng.uniform(size=(n, 2)))
+    model = M.init_mfdgp(
+        jax.random.key(0), x, jnp.asarray(rng.normal(size=(n, 1))),
+        jnp.asarray(np.arange(n) % 2), 2,
+    )
+    d = describe_hyperparams(model)
+    assert set(d) == {"layer_0", "layer_1"}
+    assert float(d["layer_0"]["l0_outputscale"]) == pytest_approx(1.0)
+    assert float(d["layer_1"]["alpha_x2"]) == pytest_approx(0.01)
+    assert float(d["layer_1"]["nu_lin"]) == pytest_approx(1.0)
+    assert d["layer_0"]["likelihood_noise"] > 0
+
+
+def pytest_approx(v, rel=1e-5):
+    import pytest as _pytest
+
+    return _pytest.approx(v, rel=rel)
