@@ -96,10 +96,11 @@ def host_dual_theta(
     phi = _np.asarray(phi, dtype=_np.float64)
     y = _np.asarray(y, dtype=_np.float64).reshape(-1)
     s_cov = _np.asarray(s_cov, dtype=_np.float64)
-    f_dim, m_dim = phi.shape
-    q, r = _np.linalg.qr(phi)
-    g = r @ r.T + sigma2 * _np.eye(m_dim)
-    g_inv = _np.linalg.solve(g, _np.eye(m_dim))
+    f_dim = phi.shape[0]
+    q, r = _np.linalg.qr(phi)  # q (F, k), r (k, M), k = min(F, M)
+    k = q.shape[1]
+    g = r @ r.T + sigma2 * _np.eye(k)
+    g_inv = _np.linalg.solve(g, _np.eye(k))
     m = q @ (g_inv @ (r @ y))
     c = sigma2 * g_inv + g_inv @ r @ s_cov @ r.T @ g_inv
     c = 0.5 * (c + c.T)
@@ -107,7 +108,7 @@ def host_dual_theta(
     lc = None
     for rel in (0.0, 1e-12, 1e-9, 1e-6):
         try:
-            lc = _np.linalg.cholesky(c + rel * scale * _np.eye(m_dim))
+            lc = _np.linalg.cholesky(c + rel * scale * _np.eye(k))
             break
         except _np.linalg.LinAlgError:
             continue
@@ -115,7 +116,7 @@ def host_dual_theta(
         raise _np.linalg.LinAlgError("RFF dual covariance not factorizable")
     rng = _np.random.default_rng(seed)
     eps1 = rng.standard_normal(f_dim)
-    eps2 = rng.standard_normal(m_dim)
+    eps2 = rng.standard_normal(k)
     return m + (eps1 - q @ (q.T @ eps1)) + q @ (lc @ eps2)
 
 

@@ -118,3 +118,24 @@ def test_median_lengthscale_matches_reference_formula():
     want = np.sqrt(np.median(np.asarray(d2)[iu]))
     got = float(median_lengthscale(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_mf_lin_kernel_f5_replicates_reference_off_by_one():
+    """For F=5 the reference's noise-factor loop runs range(3, 4) — only the
+    rho[1]^2 term, skipping rho[2]^2 (mfgp_lin.py:183). Replicated exactly."""
+    rng = np.random.default_rng(9)
+    d, num_fid = 2, 5
+    x = rng.normal(size=(6, d))
+    fid = np.array([0, 1, 2, 3, 4, 4], dtype=float)
+    xf = jnp.asarray(np.concatenate([x, fid[:, None]], axis=1))
+    params = mf_exact.init_mf_lin_kernel_params(1.0, d, num_fid)
+    got = np.asarray(mf_exact.mf_lin_kernel_gram(params, xf, xf, num_fid))
+    rho = np.asarray(params["rho"])
+    cp = np.concatenate([[1.0], np.cumprod(rho)])
+    fs = np.outer(cp[fid.astype(int)], cp[fid.astype(int)])
+    min1 = np.minimum(fid[:, None], fid[None, :]) + 1
+    fn = (min1 >= 2).astype(float) + (min1 >= 3).astype(float) * rho[1] ** 2
+    # NOTE: no rho[2]^2 term even though min1 reaches 5 — reference off-by-one
+    ks = np.asarray(rbf.rbf_gram(params["signal"], jnp.asarray(x), jnp.asarray(x)))
+    kn = np.asarray(rbf.rbf_gram(params["noise"], jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(got, fs * ks + fn * kn, rtol=1e-6)

@@ -75,3 +75,41 @@ def test_deep_sample_chains_layers():
     v0 = np.asarray(rff.eval_sample(sample, x, layer=0))
     v1 = np.asarray(rff.eval_sample(sample, x, layer=1))
     assert np.abs(v0 - v1).max() > 1e-8
+
+
+def test_host_dual_theta_m_greater_than_features():
+    """M > F regime (2048 inducing, 500 features): the dual solve must handle
+    the full-rank case where reduced QR gives rectangular R."""
+    rng = np.random.default_rng(7)
+    f_dim, m_dim = 64, 200  # scaled-down M > F
+    phi = rng.normal(size=(f_dim, m_dim)) / np.sqrt(f_dim)
+    y = rng.normal(size=m_dim)
+    s = np.eye(m_dim) * 0.01
+    theta = rff.host_dual_theta(0, phi, y, s, sigma2=1e-6)
+    assert theta.shape == (f_dim,)
+    assert np.all(np.isfinite(theta))
+    # mean check: E[theta] = A^{-1} Phi y
+    a = phi @ phi.T + 1e-6 * np.eye(f_dim)
+    m_expected = np.linalg.solve(a, phi @ y)
+    thetas = np.stack([rff.host_dual_theta(i, phi, y, s, 1e-6) for i in range(200)])
+    np.testing.assert_allclose(thetas.mean(0), m_expected, atol=0.1)
+
+
+def test_host_dual_theta_matches_primal_covariance():
+    """Dual sampling distribution == the reference's primal formula (M < F)."""
+    rng = np.random.default_rng(8)
+    f_dim, m_dim = 40, 12
+    phi = rng.normal(size=(f_dim, m_dim)) / np.sqrt(f_dim)
+    y = rng.normal(size=m_dim)
+    ls = rng.normal(size=(m_dim, m_dim)) * 0.05
+    s = ls @ ls.T + 0.01 * np.eye(m_dim)
+    sigma2 = 1e-6
+    a = phi @ phi.T + sigma2 * np.eye(f_dim)
+    a_inv = np.linalg.inv(a)
+    m_primal = a_inv @ phi @ y
+    cov_primal = sigma2 * a_inv + a_inv @ phi @ s @ phi.T @ a_inv
+
+    thetas = np.stack([rff.host_dual_theta(i, phi, y, s, sigma2) for i in range(3000)])
+    np.testing.assert_allclose(thetas.mean(0), m_primal, atol=0.05)
+    emp_cov = np.cov(thetas.T)
+    np.testing.assert_allclose(emp_cov, cov_primal, atol=0.12)  # MC noise: SE ~ 0.026/entry at 3000 draws
