@@ -193,12 +193,14 @@ def bench_torch():
 
     step()  # warmup
     n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        loss = step()
-    dt = time.perf_counter() - t0
-    sps = n_steps / dt
-    log(f"torch CPU f64 baseline: {sps:.1f} steps/s (loss {float(loss):.3f})")
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            loss = step()
+        rates.append(n_steps / (time.perf_counter() - t0))
+    sps = float(np.median(rates))
+    log(f"torch CPU f64 baseline: {sps:.1f} steps/s median of {rates}")
     return sps
 
 

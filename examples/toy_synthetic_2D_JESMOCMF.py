@@ -55,6 +55,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=60)
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--eval-highest-fidelity", action="store_true")
     parser.add_argument("--log-dir", default="toy2d_logs")
     args = parser.parse_args()
 
@@ -93,10 +94,12 @@ def main():
         config = BOConfig(
             num_bo_iterations=args.iters, num_epochs_1=10, num_epochs_2=20,
             opt_grid_size=50, pareto_set_size=10, seed=SEED, log_dir=args.log_dir,
+            eval_highest_fidelity=args.eval_highest_fidelity,
         )
     else:
         config = BOConfig(
             num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
+            eval_highest_fidelity=args.eval_highest_fidelity,
         )
     state = run_bo_loop(blackboxes, x_init, fid_init, config)
     print("hypervolume trajectory:", state.hypervolumes)
