@@ -36,15 +36,22 @@ def sample_problem(key, d=2, num_constraints=2, max_tries=30):
     probe = np.random.uniform(size=(500, d))
     import jax.numpy as jnp
 
+    probe_j = jnp.asarray(probe)
     key_c = jax.random.fold_in(key, 999)
+    joint_feas = np.ones(probe.shape[0], dtype=bool)
     while len(cons) < num_constraints:
         for _ in range(max_tries):
             key_c, k = jax.random.split(key_c)
             cand = rff.sample_prior(k, d, 2)
-            vals = np.asarray(rff.eval_sample(cand, jnp.asarray(probe)))
+            vals = np.asarray(rff.eval_sample(cand, probe_j))
             frac = float((vals >= 0).mean())
-            if 0.1 <= frac <= 0.9:
+            # per-constraint 10-90% feasibility like the reference (toy:60-76),
+            # PLUS a joint-feasibility floor — independently calibrated
+            # constraints can otherwise leave a jointly infeasible problem
+            # (observed for SEED=4: joint feasible fraction exactly 0)
+            if 0.1 <= frac <= 0.9 and (joint_feas & (vals >= 0)).mean() >= 0.05:
                 cons.append(cand)
+                joint_feas &= vals >= 0
                 break
         else:
             raise ValueError("could not sample a constraint with 10-90% feasibility")
