@@ -16,20 +16,106 @@ Construction mirrors the reference's (slightly surprising) contract: the
 passed fitter is snapshotted as the UNCONDITIONED model, then — when
 model_cond is not supplied — Pareto sampling + conditioned training are driven
 here, mutating the passed fitter into the conditioned model (:70-86).
+
+Compilation model (TPU-first): every jitted program here is MODULE-LEVEL and
+takes the model parameters as runtime arguments, never as baked-in constants.
+A BO campaign constructs a fresh JESMOC_MFDGP each iteration with freshly
+trained parameters; because the programs only depend on shapes + static
+config, iteration 2+ hits the jit cache and triggers zero acquisition
+recompiles (tested in tests/test_recompilation.py). The coupled hot path
+additionally stacks all registered blackboxes into one pytree and vmaps the
+information gain over them, so one program serves any number of blackboxes.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
 from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
+from mobocmf_tpu.fit import trainer
 from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
 from mobocmf_tpu.models import mfdgp as M
 
 Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# Module-level jitted programs (params are runtime args — no per-iteration
+# recompiles; pattern: moop.SampledFunction)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("config", "fidelity"))
+def info_gain(
+    params_u: M.MFDGPParams,
+    consts_u: M.MFDGPConsts,
+    params_c: M.MFDGPParams,
+    consts_c: M.MFDGPConsts,
+    config: M.MFDGPConfig,
+    fidelity: int,
+    x: Array,
+) -> Array:
+    """Single-blackbox JES information gain (reference :38-52)."""
+    _, var_u = M.predict_for_acquisition(params_u, consts_u, config, x, fidelity)
+    _, var_c = M.predict_for_acquisition(params_c, consts_c, config, x, fidelity)
+    return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
+
+
+def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x):
+    """Sum of info gains over blackboxes stacked along a leading axis."""
+
+    def one(pu, cu, pc, cc):
+        _, var_u = M.predict_for_acquisition(pu, cu, config, x, fidelity)
+        _, var_c = M.predict_for_acquisition(pc, cc, config, x, fidelity)
+        return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
+
+    gains = jax.vmap(
+        one, in_axes=(0, trainer.CONSTS_AXES, 0, trainer.CONSTS_AXES)
+    )(su_p, su_c, sc_p, sc_c)
+    return jnp.sum(gains, axis=0)
+
+
+@partial(jax.jit, static_argnames=("config", "fidelity"))
+def coupled_acq_stacked(
+    su_p, su_c, sc_p, sc_c, config: M.MFDGPConfig, fidelity: int, x: Array
+) -> Array:
+    return _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "fidelity", "input_dim", "num_restarts", "raw_samples", "maxiter",
+    ),
+)
+def optimize_coupled_jes(
+    su_p,
+    su_c,
+    sc_p,
+    sc_c,
+    config: M.MFDGPConfig,
+    fidelity: int,
+    key: jax.Array,
+    input_dim: int,
+    num_restarts: int = 5,
+    raw_samples: int = 200,
+    maxiter: int = 200,
+):
+    """Maximize the coupled JES acquisition at one fidelity over [0,1]^d."""
+    dtype = su_c.z_x[0].dtype
+
+    def acq(xx):
+        return _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, xx)
+
+    return optimize_acqf_box(
+        acq, input_dim, key,
+        num_restarts=num_restarts, raw_samples=raw_samples, maxiter=maxiter,
+        dtype=dtype,
+    )
 
 
 class _JES_MFDGP:
@@ -39,23 +125,15 @@ class _JES_MFDGP:
         self.fidelity = fidelity
         self.mfdgp_uncond = mfdgp_uncond
         self.mfdgp_cond = mfdgp_cond
-        self._jit_forward = jax.jit(self._forward_impl)
-
-    def _forward_impl(self, x: Array) -> Array:
-        mu_u, var_u = M.predict_for_acquisition(
-            self.mfdgp_uncond.params, self.mfdgp_uncond.consts,
-            self.mfdgp_uncond.config, x, self.fidelity,
-        )
-        mu_c, var_c = M.predict_for_acquisition(
-            self.mfdgp_cond.params, self.mfdgp_cond.consts,
-            self.mfdgp_cond.config, x, self.fidelity,
-        )
-        return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
 
     def __call__(self, x: Array) -> Array:
         if x.ndim > 2:  # botorch-style (b, q=1, d) batches
             x = x[:, 0, :]
-        return self._jit_forward(x)
+        return info_gain(
+            self.mfdgp_uncond.params, self.mfdgp_uncond.consts,
+            self.mfdgp_cond.params, self.mfdgp_cond.consts,
+            self.mfdgp_uncond.config, self.fidelity, x,
+        )
 
 
 class JESMOC_MFDGP:
@@ -92,6 +170,7 @@ class JESMOC_MFDGP:
             self.objectives[n_f] = {}
             self.constraints[n_f] = {}
             self.costs_blackboxes[n_f] = {"total": 0.0}
+        self._stacked_cache: Dict[int, tuple] = {}
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
@@ -114,19 +193,29 @@ class JESMOC_MFDGP:
             self.objectives[fidelity][blackbox_name] = jes
         self.costs_blackboxes[fidelity]["total"] += cost_evaluation
         self.costs_blackboxes[fidelity][blackbox_name] = cost_evaluation
+        self._stacked_cache.pop(fidelity, None)
         return jes
 
     def decoupled_acq(self, x: Array, fidelity: int, blackbox_name: str, is_constraint=True) -> Array:
         reg = self.constraints if is_constraint else self.objectives
         return reg[fidelity][blackbox_name](x)
 
+    def _stacked(self, fidelity: int):
+        """Stack all blackboxes registered at `fidelity` (uncond + cond)."""
+        if fidelity not in self._stacked_cache:
+            items = list(self.objectives[fidelity].values()) + list(
+                self.constraints[fidelity].values()
+            )
+            su_p, su_c, config = trainer.stack_models([j.mfdgp_uncond for j in items])
+            sc_p, sc_c, _ = trainer.stack_models([j.mfdgp_cond for j in items])
+            self._stacked_cache[fidelity] = (su_p, su_c, sc_p, sc_c, config)
+        return self._stacked_cache[fidelity]
+
     def coupled_acq(self, x: Array, fidelity: int) -> Array:
-        acq = jnp.zeros((x.shape[0],), dtype=x.dtype)
-        for obj in self.objectives[fidelity].values():
-            acq = acq + obj(x)
-        for con in self.constraints[fidelity].values():
-            acq = acq + con(x)
-        return acq
+        if x.ndim > 2:
+            x = x[:, 0, :]
+        su_p, su_c, sc_p, sc_c, config = self._stacked(fidelity)
+        return coupled_acq_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x)
 
     # -- candidate selection (reference :137-184) -------------------------------
 
@@ -137,31 +226,11 @@ class JESMOC_MFDGP:
         return some.mfdgp_uncond.consts.z_x[0].shape[1]
 
     def _optimize_fidelity(self, fidelity: int):
-        d = self._input_dim()
-        dtype = (
-            next(iter(self.objectives[0].values())).mfdgp_uncond.consts.z_x[0].dtype
-            if self.objectives[0]
-            else jnp.float64
+        su_p, su_c, sc_p, sc_c, config = self._stacked(fidelity)
+        return optimize_coupled_jes(
+            su_p, su_c, sc_p, sc_c, config, fidelity, self._next_key(),
+            self._input_dim(),
         )
-        # one jitted program per fidelity (cached across BO iterations of the
-        # same shapes); eager dispatch over a remote TPU tunnel is the enemy
-        if not hasattr(self, "_opt_jit_cache"):
-            self._opt_jit_cache = {}
-        if fidelity not in self._opt_jit_cache:
-            import functools
-
-            self._opt_jit_cache[fidelity] = jax.jit(
-                functools.partial(
-                    optimize_acqf_box,
-                    lambda xx: self.coupled_acq(xx, fidelity),
-                    d,
-                    num_restarts=5,
-                    raw_samples=200,
-                    maxiter=200,
-                    dtype=dtype,
-                )
-            )
-        return self._opt_jit_cache[fidelity](self._next_key())
 
     def _get_nextpoint_coupled_highest_fidelity(self, iteration=None, verbose=False):
         fidelity = self.num_fidelities - 1

@@ -12,10 +12,15 @@ For constraints, the feasibility probability 1 - Phi((t - mu)/sigma).
 Coupled acquisition = (sum of objective entropies) * (product of constraint
 feasibility probabilities at the HIGHEST fidelity) (:118-130). Fidelity
 selection is cost-normalized like JESMOC (:132-157).
+
+All jitted programs are module-level and take the MFGP models + best values /
+thresholds as runtime pytree arguments, so rebuilding the acquisition object
+each BO iteration never recompiles (same pattern as acquisition/jesmoc.py).
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict
 
 import jax
@@ -31,34 +36,96 @@ Array = jnp.ndarray
 CLAMP_LB = float(np.finfo(np.float32).eps)  # reference :19
 
 
+def _objective_entropy(model: G.MFGPModel, best_value: Array, fidelity: int, x: Array) -> Array:
+    mean, var = G.predict(model, x, fidelity)
+    std = jnp.sqrt(var)
+    g = (best_value - mean) / std
+    cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
+    pdf = jnp.exp(norm.logpdf(g))
+    ratio = pdf / (1.0 - cdf)
+    var_trunc = var * jnp.maximum(1.0 + (g - ratio) * ratio, CLAMP_LB)
+    sigma_n = G.noise(model.params)
+    ent_cond = 0.5 * jnp.log(var_trunc + sigma_n)
+    ent_uncond = 0.5 * jnp.log(var + sigma_n)
+    return jnp.clip(ent_uncond - ent_cond, min=0.0)
+
+
+def _constraint_prob(model: G.MFGPModel, threshold: Array, fidelity: int, x: Array) -> Array:
+    mean, var = G.predict(model, x, fidelity)
+    g = (threshold - mean) / jnp.sqrt(var)
+    cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
+    return 1.0 - cdf
+
+
+@partial(jax.jit, static_argnames=("fidelity", "is_constraint"))
+def mes_forward(
+    model: G.MFGPModel, value: Array, fidelity: int, is_constraint: bool, x: Array
+) -> Array:
+    if is_constraint:
+        return _constraint_prob(model, value, fidelity, x)
+    return _objective_entropy(model, value, fidelity, x)
+
+
+def _coupled_mes(obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, x):
+    acq = jnp.zeros((x.shape[0],), dtype=x.dtype)
+    for model, best in zip(obj_models, best_values):
+        acq = acq + _objective_entropy(model, best, fidelity, x)
+    prob = jnp.ones((x.shape[0],), dtype=x.dtype)
+    for model, thr in zip(con_models, thresholds):
+        prob = prob * _constraint_prob(model, thr, top_fidelity, x)
+    return acq * prob
+
+
+@partial(jax.jit, static_argnames=("fidelity", "top_fidelity"))
+def coupled_mes(obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, x):
+    return _coupled_mes(obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, x)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "fidelity", "top_fidelity", "input_dim", "num_restarts", "raw_samples", "maxiter",
+    ),
+)
+def optimize_coupled_mes(
+    obj_models,
+    best_values,
+    con_models,
+    thresholds,
+    fidelity: int,
+    top_fidelity: int,
+    key: jax.Array,
+    input_dim: int,
+    num_restarts: int = 5,
+    raw_samples: int = 200,
+    maxiter: int = 200,
+):
+    dtype = obj_models[0].x_train.dtype
+
+    def acq(xx):
+        return _coupled_mes(
+            obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, xx
+        )
+
+    return optimize_acqf_box(
+        acq, input_dim, key,
+        num_restarts=num_restarts, raw_samples=raw_samples, maxiter=maxiter,
+        dtype=dtype,
+    )
+
+
 class _MES_MFGP:
     def __init__(self, fidelity: int, model: G.MFGPModel, best_value: float, is_constraint: bool):
         self.fidelity = fidelity
         self.model = model
         self.best_value = float(best_value)
         self.is_constraint = is_constraint
-        self._jit_forward = jax.jit(self._forward_impl)
-
-    def _forward_impl(self, x: Array) -> Array:
-        mean, var = G.predict(self.model, x, self.fidelity)
-        std = jnp.sqrt(var)
-        g = (self.best_value - mean) / std
-        cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
-        if self.is_constraint:
-            # P(c(x) >= threshold)
-            return 1.0 - cdf
-        pdf = jnp.exp(norm.logpdf(g))
-        ratio = pdf / (1.0 - cdf)
-        var_trunc = var * jnp.maximum(1.0 + (g - ratio) * ratio, CLAMP_LB)
-        sigma_n = G.noise(self.model.params)
-        ent_cond = 0.5 * jnp.log(var_trunc + sigma_n)
-        ent_uncond = 0.5 * jnp.log(var + sigma_n)
-        return jnp.clip(ent_uncond - ent_cond, min=0.0)
 
     def __call__(self, x: Array) -> Array:
         if x.ndim > 2:
             x = x[:, 0, :]
-        return self._jit_forward(x)
+        value = jnp.asarray(self.best_value, dtype=x.dtype)
+        return mes_forward(self.model, value, self.fidelity, self.is_constraint, x)
 
 
 class MESMOC_MFGP:
@@ -114,34 +181,31 @@ class MESMOC_MFGP:
             self.acquisition_cons[fidelity][blackbox_name] = mes
         return mes
 
+    def _gather(self, fidelity: int):
+        top = self.num_fidelities - 1
+        objs = list(self.acquisition_objs[fidelity].values())
+        cons = list(self.acquisition_cons[top].values())
+        dtype = objs[0].model.x_train.dtype if objs else jnp.float64
+        obj_models = tuple(a.model for a in objs)
+        best_values = tuple(jnp.asarray(a.best_value, dtype=dtype) for a in objs)
+        con_models = tuple(a.model for a in cons)
+        thresholds = tuple(jnp.asarray(a.best_value, dtype=dtype) for a in cons)
+        return obj_models, best_values, con_models, thresholds, top
+
     def coupled_acq(self, x: Array, fidelity: int) -> Array:
-        acq = jnp.zeros((x.shape[0],), dtype=x.dtype)
-        for a in self.acquisition_objs[fidelity].values():
-            acq = acq + a(x)
-        prob = jnp.ones((x.shape[0],), dtype=x.dtype)
-        for a in self.acquisition_cons[self.num_fidelities - 1].values():
-            prob = prob * a(x)
-        return acq * prob
+        if x.ndim > 2:
+            x = x[:, 0, :]
+        obj_models, best_values, con_models, thresholds, top = self._gather(fidelity)
+        return coupled_mes(obj_models, best_values, con_models, thresholds, fidelity, top, x)
 
     def get_nextpoint_coupled(self, iteration=None, verbose=False):
         best_weighted, best_x, best_fid = None, None, 0
-        if not hasattr(self, "_opt_jit_cache"):
-            self._opt_jit_cache = {}
         for fidelity in range(self.num_fidelities):
-            if fidelity not in self._opt_jit_cache:
-                import functools
-
-                self._opt_jit_cache[fidelity] = jax.jit(
-                    functools.partial(
-                        optimize_acqf_box,
-                        lambda xx, f=fidelity: self.coupled_acq(xx, f),
-                        self.input_dim,
-                        num_restarts=5,
-                        raw_samples=200,
-                        maxiter=200,
-                    )
-                )
-            x_f, value = self._opt_jit_cache[fidelity](self._next_key())
+            obj_models, best_values, con_models, thresholds, top = self._gather(fidelity)
+            x_f, value = optimize_coupled_mes(
+                obj_models, best_values, con_models, thresholds,
+                fidelity, top, self._next_key(), self.input_dim,
+            )
             weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
             if fidelity == 0 or weighted > best_weighted:
                 best_weighted, best_x, best_fid = weighted, x_f, fidelity

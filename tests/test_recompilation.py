@@ -1,0 +1,88 @@
+"""Acquisition programs must NOT recompile across BO iterations.
+
+Round-1 weakness: _JES_MFDGP jitted closures reading self.mfdgp_*.params baked
+the parameters in as compile-time constants, so every BO iteration's fresh
+acquisition objects forced full recompiles (1-5 min each over the TPU tunnel).
+The fix makes every jitted program module-level with params as runtime
+arguments; this test builds two 'BO iterations' worth of acquisition objects
+over identical shapes and asserts the jit caches do not grow on the second.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.acquisition import jesmoc
+from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+from mobocmf_tpu.sampling import rff
+
+
+def _make_fitter(seed: int):
+    key = jax.random.key(seed)
+    d = 2
+    keys = jax.random.split(key, 3)
+    samples = [rff.sample_prior(k, d, 2) for k in keys]
+
+    rng = np.random.default_rng(seed)
+    n_low, n_high = 8, 4
+    x_low = rng.uniform(size=(n_low, d))
+    x_high = rng.uniform(size=(n_high, d))
+    x = jnp.asarray(np.vstack([x_high, x_low]))
+    fid = jnp.asarray(np.concatenate([np.ones(n_high), np.zeros(n_low)]).astype(int))
+
+    ys = []
+    for s in samples:
+        y_low = np.asarray(rff.eval_sample(s, jnp.asarray(x_low), layer=0))
+        y_high = np.asarray(rff.eval_sample(s, jnp.asarray(x_high), layer=1))
+        y = np.concatenate([y_high, y_low])
+        ys.append(jnp.asarray((y - y.mean()) / y.std()))
+
+    fitter = BlackBoxMFDGPFitter(
+        num_fidelities=2, batch_size=x.shape[0], num_epochs_1=2, num_epochs_2=3,
+        opt_grid_size=20, pareto_set_size=4, seed=seed,
+    )
+    fitter.initialize_mfdgp(x, ys[0], fid, "obj1", is_constraint=False)
+    fitter.initialize_mfdgp(x, ys[1], fid, "obj2", is_constraint=False)
+    fitter.initialize_mfdgp(x, ys[2], fid, "con1", threshold_constraint=0.0, is_constraint=True)
+    fitter.train_mfdgps()
+    return fitter
+
+
+def _one_iteration(seed: int):
+    fitter = _make_fitter(seed)
+    cond = fitter.copy_uncond()
+    cond.sample_and_store_pareto_solution()
+    cond.train_conditioned_mfdgps()
+    jes = jesmoc.JESMOC_MFDGP(
+        model=fitter, num_fidelities=2, model_cond=cond, seed=seed
+    )
+    for name, is_con in [("obj1", False), ("obj2", False), ("con1", True)]:
+        for f in range(2):
+            jes.add_blackbox(f, name, cost_evaluation=1.0 + 9.0 * f, is_constraint=is_con)
+    x_next, fid_next = jes.get_nextpoint_coupled()
+    # also exercise the decoupled/coupled surfaces
+    grid = jnp.asarray(np.random.default_rng(seed).uniform(size=(6, 2)))
+    jes.decoupled_acq(grid, 1, "obj1", is_constraint=False)
+    jes.coupled_acq(grid, 0)
+    return x_next, fid_next
+
+
+def test_no_acquisition_recompiles_across_iterations():
+    _one_iteration(0)
+    sizes_before = {
+        "optimize": jesmoc.optimize_coupled_jes._cache_size(),
+        "coupled": jesmoc.coupled_acq_stacked._cache_size(),
+        "info_gain": jesmoc.info_gain._cache_size(),
+    }
+    assert all(v > 0 for v in sizes_before.values())
+
+    # second BO iteration: same shapes, fresh params -> zero new compiles
+    _one_iteration(1)
+    sizes_after = {
+        "optimize": jesmoc.optimize_coupled_jes._cache_size(),
+        "coupled": jesmoc.coupled_acq_stacked._cache_size(),
+        "info_gain": jesmoc.info_gain._cache_size(),
+    }
+    assert sizes_after == sizes_before, (
+        f"acquisition programs recompiled: {sizes_before} -> {sizes_after}"
+    )
