@@ -65,6 +65,11 @@ class BOConfig:
     # (the reference ships this machinery commented out, toy:333-357; same
     # default: off)
     warm_start: bool = False
+    # bucket the growing training set to geometric sizes with masked padding
+    # (fit/bucketing.py) so the campaign compiles O(log N) times, not once per
+    # iteration. On by default — this is the TPU-first execution path; set
+    # False for exact reference shapes.
+    pad_data: bool = True
 
 
 @dataclasses.dataclass
@@ -136,6 +141,7 @@ def run_bo_loop(
             num_epochs_1=config.num_epochs_1, num_epochs_2=config.num_epochs_2,
             pareto_set_size=config.pareto_set_size, opt_grid_size=config.opt_grid_size,
             type_lengthscale=config.type_lengthscale, seed=config.seed + it,
+            pad_data=config.pad_data,
         )
         stats = {}
         for bb in blackboxes:
@@ -242,16 +248,20 @@ def recommend_and_score(
     objs = [bb for bb in blackboxes if not bb.is_constraint]
     cons = [bb for bb in blackboxes if bb.is_constraint]
 
-    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint
+    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint,
+    # with the likelihood noise subtracted from the predictive variance
+    # (reference toy:545-546 — the feasibility test is on the LATENT process)
     feasible = np.ones(grid_size, dtype=bool)
     for bb in cons:
         model = fitter.get_model(bb.name, is_constraint=True)
         mu, var = M.predict_for_acquisition(
             model.params, model.consts, model.config, grid_j, top
         )
+        noise = float(M.likelihood_noise(model.params, model.consts, top))
+        var_latent = np.maximum(np.asarray(var) - noise, 1e-12)
         mean_s, std_s = stats[bb.name]
         thr_std = (bb.threshold - mean_s) / std_s
-        p_feas = 1.0 - _norm.cdf((thr_std - np.asarray(mu)) / np.sqrt(np.asarray(var)))
+        p_feas = 1.0 - _norm.cdf((thr_std - np.asarray(mu)) / np.sqrt(var_latent))
         feasible &= p_feas > feasibility_prob
     if not feasible.any():
         return np.zeros((0, d)), 0.0, 0.0

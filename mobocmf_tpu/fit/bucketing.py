@@ -1,0 +1,102 @@
+"""Bucketed shape padding: survive BO-loop data growth with O(log N) compiles.
+
+Every BO iteration appends one row to the training set; under jit that means
+new array shapes and a full recompile of the training scans, the conditioned
+trainer, the Pareto-sampling programs and the acquisition programs — with 1-5
+minute compiles over a TPU tunnel, recompilation dominates a 60-iteration
+campaign.
+
+Fix: round the row count N up to a geometric bucket and pad with
+
+- inputs placed OUTSIDE the unit box (x_pad[i] = 2 + i on every coordinate:
+  distinct points, far from the data and from each other, so the padded Gram
+  blocks are near-diagonal and Cholesky stays well conditioned — same trick as
+  linalg/fused_svgp.py uses for its tile padding);
+- fidelity -1 (matches no layer: padded rows contribute exactly zero to every
+  per-fidelity data term and never enter per-fidelity statistics or the
+  nearest-neighbor inducing init, models/mfdgp.py:137-156);
+- target 0 and row weight 0 (masked out of batch counts and KL scaling).
+
+Because the MFDGP uses ALL training inputs as inducing points (reference
+mobocmf/models/mfdgp.py:290-317), padding rows necessarily pads the inducing
+set too. That is mathematically sound — an SVGP posterior is valid for any
+inducing set, the extra far-away points just add (unused) capacity — but it
+is a deliberate deviation from the reference's exact Z = x_train, so padding
+is opt-in (BOConfig.pad_data / BlackBoxMFDGPFitter(pad_data=True)) and the
+f64 parity paths keep exact shapes.
+
+Buckets: multiples of 8 up to 64, then the step doubles with each octave
+(16 for 65..128, 32 for 129..256, ...), so a campaign growing N from 15 to 75
+compiles the training programs ~8 times instead of 60, and the padding
+overhead stays <= ~12% of rows.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+PAD_FIDELITY = -1
+
+
+def next_bucket(n: int) -> int:
+    """Smallest bucket >= n (multiples of 8, step doubling per octave)."""
+    if n <= 8:
+        return 8
+    step, cap = 8, 64
+    while n > cap:
+        step *= 2
+        cap *= 2
+    return ((n + step - 1) // step) * step
+
+
+def pad_inputs(x: Array, fidelities: Array, target: int) -> Tuple[Array, Array, Array]:
+    """Pad (x, fidelities) with far-away rows up to `target` rows.
+
+    Returns (x_padded, fidelities_padded, row_weights) where row_weights is
+    1.0 for real rows and 0.0 for padding.
+    """
+    n, d = x.shape
+    extra = target - n
+    assert extra >= 0, f"target {target} < rows {n}"
+    dtype = x.dtype
+    if extra == 0:
+        return x, fidelities, jnp.ones((n,), dtype=dtype)
+    # 100 + 10*i per coordinate: the deep-MF kernel's smooth component uses a
+    # 10x-median lengthscale (~5 on unit-box data), so pads must be VERY far
+    # out for k(x, pad) to vanish; 10-apart keeps pad-pad correlations small
+    # enough for a well-conditioned Gram
+    pad_x = 100.0 + 10.0 * jnp.arange(extra, dtype=dtype)[:, None] * jnp.ones(
+        (1, d), dtype=dtype
+    )
+    x_p = jnp.concatenate([x, pad_x], axis=0)
+    fid_p = jnp.concatenate(
+        [
+            jnp.asarray(fidelities).reshape(-1).astype(jnp.int32),
+            jnp.full((extra,), PAD_FIDELITY, dtype=jnp.int32),
+        ]
+    )
+    w = jnp.concatenate([jnp.ones((n,), dtype=dtype), jnp.zeros((extra,), dtype=dtype)])
+    return x_p, fid_p, w
+
+
+def pad_targets(y: Array, target: int) -> Array:
+    """Pad a target vector with zeros up to `target` rows."""
+    y = jnp.asarray(y).reshape(-1)
+    extra = target - y.shape[0]
+    if extra == 0:
+        return y
+    return jnp.concatenate([y, jnp.zeros((extra,), dtype=y.dtype)])
+
+
+def pad_rows_np(a: np.ndarray, target: int, fill: float = 0.0) -> np.ndarray:
+    """Host-side helper: pad the leading axis of a numpy array."""
+    extra = target - a.shape[0]
+    if extra <= 0:
+        return a
+    pad_shape = (extra,) + a.shape[1:]
+    return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)

@@ -83,6 +83,7 @@ class ConditionedData(NamedTuple):
     pareto_front: Array  # (P, O)
     front_mask: Array  # (P,)
     thresholds: Array  # (C,)
+    row_weights: Array = None  # (N,) 1.0 real / 0.0 padded rows (bucketing)
 
 
 def _model_top_moments(params, consts, config, x, eps):
@@ -109,6 +110,8 @@ def conditioned_loss(
     num_con = data.ys_con.shape[0]
     dtype = data.x.dtype
     fm1 = max(config.num_fidelities - 1, 0)
+    # real row count (padded rows carry weight 0, fit/bucketing.py)
+    n_real = n if data.row_weights is None else jnp.sum(data.row_weights)
 
     k_xt, k_rest = jax.random.split(key)
     x_tilde = jax.random.uniform(k_xt, (NUM_OMEGA_POINTS, data.x.shape[1]), dtype=dtype)
@@ -123,10 +126,11 @@ def conditioned_loss(
     # ---- objectives ----
     def obj_term(params_i, consts_i, y_i, front_i, eps_b, eps_p):
         elbo, _ = elbo_terms(
-            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n, weights=batch_w
+            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
+            weights=batch_w,
         )
         batch_count = jnp.sum(batch_w)
-        l = -elbo / batch_count * n
+        l = -elbo / batch_count * n_real
         # pareto-front data term at top fidelity (no KL), masked rows weighted 0
         dt = elbo_data_term(
             params_i, consts_i, config, data.pareto_set, front_i, top_fid, eps_p,
@@ -144,10 +148,11 @@ def conditioned_loss(
     # ---- constraints ----
     def con_term(params_i, consts_i, y_i, thr_i, eps_b, eps_p):
         elbo, _ = elbo_terms(
-            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n, weights=batch_w
+            params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
+            weights=batch_w,
         )
         batch_count = jnp.sum(batch_w)
-        l = -elbo / batch_count * n
+        l = -elbo / batch_count * n_real
         mu, var = _model_top_moments(params_i, consts_i, config, data.pareto_set, eps_p)
         theta = loss_theta_factors(mu, var, thr_i, eps_const, data.front_mask)
         return l - theta
@@ -204,7 +209,9 @@ def train_conditioned(
     bsz = min(batch_size, n)
 
     mask_o = jax.vmap(trainer.mask_fix_cond)(obj_params)
-    mask_c = jax.vmap(trainer.mask_fix_cond)(con_params) if data.ys_con.shape[0] else con_params
+    # vmap over a zero-length leading axis is valid: with no constraints the
+    # stacked con pytree is explicitly empty and this yields empty masks
+    mask_c = jax.vmap(trainer.mask_fix_cond)(con_params)
     opt = optax.adam(lr, eps=1e-8)
 
     def loss_fn(ps, key, bidx, bw):
@@ -215,15 +222,20 @@ def train_conditioned(
 
     grad_fn = jax.value_and_grad(loss_fn)
 
+    rw = (
+        jnp.ones((n,), dtype=data.x.dtype)
+        if data.row_weights is None
+        else data.row_weights
+    )
+
     def step(carry, key_i):
         ps, opt_state = carry
         kb, kl = jax.random.split(key_i)
         if bsz == n:
             bidx = jnp.arange(n)
-            bw = jnp.ones((n,), dtype=data.x.dtype)
         else:
             bidx = jax.random.choice(kb, n, (bsz,), replace=False)
-            bw = jnp.ones((bsz,), dtype=data.x.dtype)
+        bw = rw[bidx]
         loss, grads = grad_fn(ps, kl, bidx, bw)
         grads = (
             jax.tree.map(lambda g, m: g * m, grads[0], mask_o),

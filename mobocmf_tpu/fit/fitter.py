@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mobocmf_tpu.fit import bucketing
 from mobocmf_tpu.fit import conditioned as C
 from mobocmf_tpu.fit import trainer
 from mobocmf_tpu.models import mfdgp as M
@@ -51,7 +52,14 @@ class BlackBoxMFDGPFitter:
         type_lengthscale: TL = TL.MEDIAN,
         seed: int = 0,
         whitened: bool = False,
+        pad_data: bool = False,
     ):
+        """pad_data: bucket the training rows to geometric sizes with masked
+        far-away padding (fit/bucketing.py) so a growing BO campaign compiles
+        the training/conditioning/acquisition programs O(log N) times instead
+        of once per iteration. Padding also pads the inducing set (Z = x_train
+        by construction) — a documented deviation from the reference's exact
+        shapes, so it is opt-in."""
         self.num_obj = 0
         self.num_con = 0
         self.models_uncond_trained = False
@@ -66,6 +74,9 @@ class BlackBoxMFDGPFitter:
         self.fidelities: Optional[Array] = None
         self.ys_objs: List[Array] = []
         self.ys_cons: List[Array] = []
+        self.pad_data = pad_data
+        self.num_real: Optional[int] = None  # real rows (x_train may be padded)
+        self.row_weights: Optional[Array] = None
 
         self.num_fidelities = num_fidelities
         self.batch_size = batch_size
@@ -98,14 +109,26 @@ class BlackBoxMFDGPFitter:
         threshold_constraint: float = 0.0,
         is_constraint: bool = False,
         previously_trained_model: Optional[M.MFDGPModel] = None,
+        init_params_to_prior_and_fix_them: bool = False,
         use_only_highest_fidelity: bool = False,
     ):
         x_train = jnp.asarray(x_train)
         y_train = jnp.asarray(y_train).reshape(-1, 1)
         fidelities = jnp.asarray(fidelities).reshape(-1).astype(jnp.int32)
+        n_real = x_train.shape[0]
+        if self.pad_data:
+            target = bucketing.next_bucket(n_real)
+            x_train, fidelities, row_weights = bucketing.pad_inputs(
+                x_train, fidelities, target
+            )
+            y_train = bucketing.pad_targets(y_train, target)[:, None]
+        else:
+            row_weights = jnp.ones((n_real,), dtype=x_train.dtype)
         if self.x_train is None:
             self.x_train = x_train
             self.fidelities = fidelities
+            self.num_real = n_real
+            self.row_weights = row_weights
         else:
             assert jnp.array_equal(self.x_train, x_train), (
                 "The inputs for this new mfdgp do not match previous models; "
@@ -117,6 +140,7 @@ class BlackBoxMFDGPFitter:
             use_only_highest_fidelity=use_only_highest_fidelity,
             previously_trained=previously_trained_model,
             whitened=self.whitened,
+            init_params_to_prior_and_fix_them=init_params_to_prior_and_fix_them,
         )
         if is_constraint:
             self.models_cons[blackbox_name] = model
@@ -132,12 +156,21 @@ class BlackBoxMFDGPFitter:
 
     # -- unconditioned training ---------------------------------------------------
 
+    def _effective_batch_size(self) -> int:
+        """Full-batch intent (batch_size >= real rows) covers padded rows too,
+        so the whole padded epoch stays one batch."""
+        n = self.x_train.shape[0]
+        if self.batch_size >= self.num_real:
+            return n
+        return self.batch_size
+
     def _train_group(self, names, models_dict, ys, label):
         models = [models_dict[n] for n in names]
         sp, sc, config = trainer.stack_models(models)
         ys_arr = jnp.stack(ys)
         nm = len(models)
         fid = self.fidelities
+        num_data = jnp.asarray(self.num_real, dtype=self.x_train.dtype)
 
         for phase, (epochs, lr, mask_fn) in enumerate(
             [
@@ -148,10 +181,11 @@ class BlackBoxMFDGPFitter:
             if epochs == 0:
                 continue
             keys = jax.random.split(self._next_key(), nm)
-            mask = jax.vmap(mask_fn)(sp)
+            mask = trainer.apply_kernel_freeze(jax.vmap(mask_fn)(sp), config)
             sp, logs = trainer.train_phase_stacked_jit(
                 sp, sc, config, self.x_train, ys_arr, fid, keys,
-                epochs, lr, mask, self.batch_size,
+                epochs, lr, mask, self._effective_batch_size(),
+                self.row_weights, num_data,
             )
             print(
                 f"[{label}] phase {phase + 1}: epochs={epochs} "
@@ -215,7 +249,8 @@ class BlackBoxMFDGPFitter:
                 feasible_values=-1.0 * np.asarray(self.thresholds_cons),
             )
             res = global_optimizer.compute_pareto_solution_from_samples(
-                self.x_train, self._next_key()
+                self.x_train, self._next_key(),
+                inputs_valid=np.asarray(self.row_weights) > 0,
             )
             if res is not None:
                 self.pareto_solution, _, _ = res
@@ -223,7 +258,8 @@ class BlackBoxMFDGPFitter:
                 self.samples_cons = l_samples_cons
                 return self.pareto_solution
         res = global_optimizer.compute_pareto_solution_from_samples(
-            self.x_train, self._next_key(), allow_negative_constraints=True
+            self.x_train, self._next_key(), allow_negative_constraints=True,
+            inputs_valid=np.asarray(self.row_weights) > 0,
         )
         if res is not None:
             self.pareto_solution, _, _ = res
@@ -262,7 +298,16 @@ class BlackBoxMFDGPFitter:
         if con_models:
             cp, cc, _ = trainer.stack_models(con_models)
         else:
-            cp, cc = op, oc  # placeholders; num_con==0 branches skip them
+            # explicit EMPTY stacked pytrees (leading axis 0): the conditioned
+            # trainer vmaps over them, producing zero gradients/updates by
+            # construction — no aliased placeholders
+            cp = jax.tree.map(lambda a: a[:0], op)
+            cc = M.MFDGPConsts(
+                z_x=oc.z_x,
+                acq_eps=oc.acq_eps[:0],
+                noise_lower=oc.noise_lower[:0],
+                noise_upper=oc.noise_upper[:0],
+            )
 
         dtype = self.x_train.dtype
         data = C.ConditionedData(
@@ -274,10 +319,11 @@ class BlackBoxMFDGPFitter:
             pareto_front=self.pareto_solution.pareto_front,
             front_mask=self.pareto_solution.mask,
             thresholds=jnp.asarray(self.thresholds_cons, dtype=dtype),
+            row_weights=self.row_weights,
         )
         op, cp, losses = C.train_conditioned_jit(
             op, cp, oc, cc, config, data, self._next_key(),
-            self.num_epochs_2, self.lr_2, self.eps, self.batch_size,
+            self.num_epochs_2, self.lr_2, self.eps, self._effective_batch_size(),
         )
         print(
             f"[COND] iters={self.num_epochs_2} first/last loss "

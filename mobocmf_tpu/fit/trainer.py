@@ -67,6 +67,18 @@ def mask_all_free(params: M.MFDGPParams) -> M.MFDGPParams:
     return jax.tree.map(jnp.ones_like, params)
 
 
+def apply_kernel_freeze(mask, config: M.MFDGPConfig):
+    """Zero the kernel-gradient masks when the model runs in freeze-to-prior
+    mode (init_params_to_prior_and_fix_them, reference
+    mfdgp_hidden_layer.py:166-188). Works on single or stacked masks."""
+    if not config.fix_kernel_params:
+        return mask
+    layers = tuple(
+        lp._replace(kernel=_zeros_like_tree(lp.kernel)) for lp in mask.layers
+    )
+    return mask._replace(layers=layers)
+
+
 def mask_fix_cond(params: M.MFDGPParams) -> M.MFDGPParams:
     """fix_variational_hypers_cond(True): freeze raw noises + ALL kernel params."""
     layers = tuple(
@@ -107,16 +119,26 @@ def train_phase(
     lr: float,
     mask: M.MFDGPParams,
     batch_size: int,
+    row_weights: Array = None,
+    num_data: Array = None,
 ) -> Tuple[M.MFDGPParams, EpochLog]:
-    """One training phase as a single scan; returns final params + logs."""
+    """One training phase as a single scan; returns final params + logs.
+
+    row_weights (n,) marks real rows 1.0 / padded rows 0.0 (bucketed shapes,
+    fit/bucketing.py); num_data is the REAL row count used for KL scaling.
+    Both default to the unpadded semantics.
+    """
     n = x.shape[0]
     bsz, num_batches = _batch_plan(n, batch_size)
     padded = bsz * num_batches
     fid = fidelities.reshape(-1)
+    if row_weights is None:
+        row_weights = jnp.ones((n,), dtype=x.dtype)
+    nd = jnp.sum(row_weights) if num_data is None else num_data
     opt = optax.adam(lr, eps=1e-8)
 
     def loss_fn(p, xb, yb, fb, wb, eps):
-        elbo, kl = elbo_terms(p, consts, config, xb, yb, fb, eps, n, weights=wb)
+        elbo, kl = elbo_terms(p, consts, config, xb, yb, fb, eps, nd, weights=wb)
         return -elbo, kl
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -127,7 +149,7 @@ def train_phase(
         perm = jax.random.permutation(kperm, n)
         idx = jnp.concatenate([perm, jnp.zeros((padded - n,), dtype=perm.dtype)])
         w_all = jnp.concatenate(
-            [jnp.ones((n,), dtype=x.dtype), jnp.zeros((padded - n,), dtype=x.dtype)]
+            [row_weights[perm], jnp.zeros((padded - n,), dtype=x.dtype)]
         )
         idx = idx.reshape(num_batches, bsz)
         w_all = w_all.reshape(num_batches, bsz)
@@ -180,11 +202,14 @@ def train_mfdgp_two_phase(
     p = model.params
     p, log1 = train_phase_jit(
         p, model.consts, model.config, x, y, fidelities, k1,
-        num_epochs_1, lr_1, mask_fix_variational_hypers(p), batch_size,
+        num_epochs_1, lr_1,
+        apply_kernel_freeze(mask_fix_variational_hypers(p), model.config),
+        batch_size,
     )
     p, log2 = train_phase_jit(
         p, model.consts, model.config, x, y, fidelities, k2,
-        num_epochs_2, lr_2, mask_all_free(p), batch_size,
+        num_epochs_2, lr_2,
+        apply_kernel_freeze(mask_all_free(p), model.config), batch_size,
     )
     return model._replace(params=p), log1, log2
 
@@ -199,6 +224,9 @@ CONSTS_AXES = M.MFDGPConsts(z_x=None, acq_eps=0, noise_lower=0, noise_upper=0)
 
 def stack_models(models):
     """Stack per-blackbox params/consts along a leading axis (shared config)."""
+    assert all(m.config == models[0].config for m in models), (
+        "stacked blackboxes must share the same MFDGPConfig"
+    )
     params = jax.tree.map(lambda *a: jnp.stack(a), *[m.params for m in models])
     consts = M.MFDGPConsts(
         z_x=models[0].consts.z_x,
@@ -227,15 +255,21 @@ def train_phase_stacked(
     lr: float,
     stacked_mask,
     batch_size: int,
+    row_weights: Array = None,
+    num_data: Array = None,
 ):
     """vmap the phase trainer over stacked blackboxes (same x / shapes)."""
+    if row_weights is None:
+        row_weights = jnp.ones((x.shape[0],), dtype=x.dtype)
+    if num_data is None:
+        num_data = jnp.sum(row_weights)
     f = jax.vmap(
         train_phase,
-        in_axes=(0, CONSTS_AXES, None, None, 0, None, 0, None, None, 0, None),
+        in_axes=(0, CONSTS_AXES, None, None, 0, None, 0, None, None, 0, None, None, None),
     )
     return f(
         stacked_params, stacked_consts, config, x, ys, fidelities, keys,
-        num_epochs, lr, stacked_mask, batch_size,
+        num_epochs, lr, stacked_mask, batch_size, row_weights, num_data,
     )
 
 

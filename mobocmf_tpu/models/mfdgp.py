@@ -92,6 +92,10 @@ class MFDGPConfig(NamedTuple):
     # whitened inducing parameterization (BASELINE.json redesign): q(v) with
     # u = chol(Kzz) v. Default False = reference (unwhitened) semantics.
     whitened: bool = False
+    # freeze-to-prior mode (reference mfdgp_hidden_layer.py:52-62,90-113,
+    # 166-188): kernel params initialized to fixed prior values and excluded
+    # from training (the trainer zeroes their gradient masks).
+    fix_kernel_params: bool = False
 
 
 class MFDGPModel(NamedTuple):
@@ -168,8 +172,16 @@ def init_mfdgp(
     jitter: Optional[float] = None,
     previously_trained: Optional[MFDGPModel] = None,
     whitened: bool = False,
+    init_params_to_prior_and_fix_them: bool = False,
 ) -> MFDGPModel:
-    """Build a functional MFDGP for one blackbox."""
+    """Build a functional MFDGP for one blackbox.
+
+    init_params_to_prior_and_fix_them: freeze-to-prior mode (reference
+    mfdgp_hidden_layer.py:52-62,90-113,166-188): kernel hyperparameters are
+    set to fixed prior values — layer 0 lengthscale 0.25*d, outputscale 1;
+    deep layers ls_x1 = 10*0.25*d, ls_f = 1, ls_x2 = 0.25*d, nu_lin = 1,
+    outputscales (1, 1, 0.01) — and excluded from training.
+    """
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train).reshape(-1, 1).astype(x_train.dtype)
     fid = jnp.asarray(fidelities).reshape(-1)
@@ -197,6 +209,20 @@ def init_mfdgp(
         if previously_trained is not None:
             # warm start: restore kernel state (reference mfdgp_hidden_layer.py:122-123)
             kparams = jax.tree.map(lambda a: a, previously_trained.params.layers[ell].kernel)
+        elif init_params_to_prior_and_fix_them:
+            # fixed prior values (reference mfdgp_hidden_layer.py:52-62,90-113);
+            # for deep layers the reference's input_dims includes the f column,
+            # so its 0.25*(input_dims-1) is 0.25*d here
+            if ell == 0:
+                kparams = rbf.init_scale_rbf_params(0.25 * d, 1.0, d)
+            elif use_only_highest_fidelity:
+                kparams = deep_mf.init_only_hf_params(
+                    jnp.full((d,), 0.25 * d, dtype=dtype), d
+                )
+            else:
+                kparams = deep_mf.init_deep_mf_params(
+                    jnp.full((d,), 0.25 * d, dtype=dtype), d
+                )
         elif ell == 0:
             kparams = rbf.init_scale_rbf_params(init_ls, 1.0, d)
         elif use_only_highest_fidelity:
@@ -285,6 +311,7 @@ def init_mfdgp(
         jitter=float(jitter),
         num_samples_for_acquisition=num_samples_for_acquisition,
         whitened=whitened,
+        fix_kernel_params=init_params_to_prior_and_fix_them,
     )
     return MFDGPModel(params=params, consts=consts, config=config)
 

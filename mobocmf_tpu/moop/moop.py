@@ -307,18 +307,23 @@ class MOOP:
 
     # -- feasibility ---------------------------------------------------------
 
-    def _feasible_mask(self, cons_evals: np.ndarray, allow_negative: bool):
-        """Reference find_feasible_grid (moop.py:38-70), mask-based."""
-        feas = np.all(cons_evals >= self.feasible_values[:, None], axis=0)
+    def _feasible_mask(
+        self, cons_evals: np.ndarray, allow_negative: bool, valid=None
+    ):
+        """Reference find_feasible_grid (moop.py:38-70), mask-based. `valid`
+        excludes padded grid slots (bucketed shapes) from every branch."""
+        if valid is None:
+            valid = np.ones(cons_evals.shape[-1], dtype=bool)
+        feas = np.all(cons_evals >= self.feasible_values[:, None], axis=0) & valid
         if feas.any():
             return feas
         if not allow_negative:
             return None
         viol = np.minimum(cons_evals - self.feasible_values[:, None], 0.0).sum(axis=0)
-        nz = viol != 0
+        nz = (viol != 0) & valid
         if not nz.any():  # everything exactly on the boundary — all feasible
-            return np.ones_like(feas)
-        return viol == viol[nz].max()
+            return valid.copy()
+        return (viol == viol[nz].max()) & valid
 
     # -- SLSQP polish ---------------------------------------------------------
 
@@ -405,10 +410,15 @@ class MOOP:
     # -- main entry ------------------------------------------------------------
 
     def compute_pareto_solution_from_samples(
-        self, inputs, key: jax.Array, allow_negative_constraints: bool = False
+        self, inputs, key: jax.Array, allow_negative_constraints: bool = False,
+        inputs_valid=None,
     ):
         """Reference moop.py:221-286; returns (pareto_set, pareto_front, mask,
-        samples_objs, samples_cons) or None when infeasible."""
+        samples_objs, samples_cons) or None when infeasible.
+
+        inputs_valid: optional (len(inputs),) bool/0-1 mask — padded training
+        rows (fit/bucketing.py) keep their grid slot for static shapes but are
+        excluded from feasibility, polish starts, and the Pareto front."""
         inputs = np.asarray(inputs, dtype=float)
         key_grid, _ = jax.random.split(key)
         rand = np.asarray(
@@ -419,6 +429,9 @@ class MOOP:
         )
         grid = np.concatenate([rand, inputs], axis=0)
         grid_j = jnp.asarray(grid)
+        grid_valid = np.ones(grid.shape[0], dtype=bool)
+        if inputs_valid is not None:
+            grid_valid[rand.shape[0]:] = np.asarray(inputs_valid, dtype=bool)
 
         from mobocmf_tpu.parallel.sharding import sharded_grid_eval
 
@@ -431,7 +444,9 @@ class MOOP:
             # non-finite constraint samples cannot define feasibility
             print("[MOOP] non-finite constraint samples; resampling")
             return None
-        feasible = self._feasible_mask(cons_evals, allow_negative_constraints)
+        feasible = self._feasible_mask(
+            cons_evals, allow_negative_constraints, valid=grid_valid
+        )
         if feasible is None:
             return None
 

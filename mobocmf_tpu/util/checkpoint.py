@@ -38,8 +38,11 @@ def save_fitter(path: str, fitter) -> None:
         "ys_objs": [np.asarray(y) for y in fitter.ys_objs],
         "ys_cons": [np.asarray(y) for y in fitter.ys_cons],
         "key": np.asarray(jax.random.key_data(fitter.key)),
+        "row_weights": np.asarray(fitter.row_weights),
     }
     meta = {
+        "num_real": int(fitter.num_real),
+        "pad_data": bool(fitter.pad_data),
         "obj_names": list(fitter.obj_names),
         "con_names": list(fitter.con_names),
         "thresholds_cons": list(map(float, fitter.thresholds_cons)),
@@ -82,6 +85,15 @@ def restore_fitter(path: str, fitter_cls=None):
     fitter.models_uncond_trained = bool(meta["models_uncond_trained"])
     fitter.x_train = jax.numpy.asarray(state["x_train"])
     fitter.fidelities = jax.numpy.asarray(state["fidelities"])
+    if "row_weights" in state:
+        fitter.row_weights = jax.numpy.asarray(state["row_weights"])
+        fitter.num_real = int(meta["num_real"])
+        fitter.pad_data = bool(meta["pad_data"])
+    else:  # older checkpoints: unpadded semantics
+        fitter.row_weights = jax.numpy.ones(
+            (fitter.x_train.shape[0],), dtype=fitter.x_train.dtype
+        )
+        fitter.num_real = fitter.x_train.shape[0]
     fitter.ys_objs = [jax.numpy.asarray(y) for y in state["ys_objs"]]
     fitter.ys_cons = [jax.numpy.asarray(y) for y in state["ys_cons"]]
     fitter.key = jax.random.wrap_key_data(jax.numpy.asarray(state["key"]))

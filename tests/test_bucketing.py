@@ -1,0 +1,100 @@
+"""Bucketed shape padding (fit/bucketing.py).
+
+Padding must (a) leave the model's predictions at real inputs essentially
+unchanged (far-away masked inducing rows are numerically inert), (b) keep
+training finite and decreasing, and (c) actually kill per-iteration
+recompiles: growing N within one bucket must not compile new programs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mobocmf_tpu.fit import bucketing, trainer
+from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+from mobocmf_tpu.models import mfdgp as M
+
+
+def test_next_bucket():
+    assert bucketing.next_bucket(1) == 8
+    assert bucketing.next_bucket(8) == 8
+    assert bucketing.next_bucket(9) == 16
+    assert bucketing.next_bucket(17) == 24
+    assert bucketing.next_bucket(64) == 64
+    assert bucketing.next_bucket(65) == 80
+    assert bucketing.next_bucket(130) == 160
+    # monotone and idempotent
+    for n in range(1, 300):
+        b = bucketing.next_bucket(n)
+        assert b >= n and bucketing.next_bucket(b) == b
+
+
+def _problem(seed=0, n=12, d=2):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    y = jnp.asarray(rng.normal(size=n))
+    return x, y, fid
+
+
+def test_padded_init_predictions_match_unpadded():
+    """At init, the padded model's predictive at REAL inputs must match the
+    unpadded model: the far-away padded inducing rows are numerically inert."""
+    x, y, fid = _problem(0)
+    target = bucketing.next_bucket(x.shape[0] + 1)  # force nonzero padding
+    x_p, fid_p, w = bucketing.pad_inputs(x, fid, target)
+    y_p = bucketing.pad_targets(y, target)
+    assert float(jnp.sum(w)) == x.shape[0]
+
+    m0 = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2)
+    m1 = M.init_mfdgp(jax.random.key(0), x_p, y_p[:, None], fid_p, 2)
+    assert m1.consts.z_x[0].shape[0] == target
+
+    grid = jnp.asarray(np.random.default_rng(1).uniform(size=(20, 2)))
+    for f in range(2):
+        mu0, v0 = M.predict_for_acquisition(m0.params, m0.consts, m0.config, grid, f)
+        mu1, v1 = M.predict_for_acquisition(m1.params, m1.consts, m1.config, grid, f)
+        np.testing.assert_allclose(np.asarray(mu0), np.asarray(mu1), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v0), np.asarray(v1), rtol=1e-4, atol=1e-7)
+
+
+def test_padded_pipeline_runs_and_matches_loosely():
+    """Full padded pipeline: train, Pareto-sample, condition — finite losses,
+    Pareto set inside the unit box (padded rows excluded from the grid)."""
+    x, y, fid = _problem(2)
+    y2 = jnp.asarray(np.random.default_rng(3).normal(size=x.shape[0]))
+    fitter = BlackBoxMFDGPFitter(
+        num_fidelities=2, batch_size=x.shape[0], num_epochs_1=3, num_epochs_2=5,
+        opt_grid_size=20, pareto_set_size=4, pad_data=True,
+    )
+    fitter.initialize_mfdgp(x, y, fid, "obj1", is_constraint=False)
+    fitter.initialize_mfdgp(x, y2, fid, "con1", threshold_constraint=0.0, is_constraint=True)
+    assert fitter.x_train.shape[0] == bucketing.next_bucket(x.shape[0])
+    assert fitter.num_real == x.shape[0]
+    fitter.train_mfdgps()
+    sol = fitter.sample_and_store_pareto_solution()
+    pset = np.asarray(sol.pareto_set)[np.asarray(sol.mask)]
+    assert pset.shape[0] >= 1
+    assert (pset >= 0.0).all() and (pset <= 1.0).all(), (
+        "padded (out-of-box) rows leaked into the Pareto set"
+    )
+    fitter.train_conditioned_mfdgps()
+
+
+def test_growth_within_bucket_compiles_once():
+    """N -> N+1 inside the same bucket must hit every training jit cache."""
+
+    def run(n, seed):
+        x, y, fid = _problem(seed, n=n)
+        fitter = BlackBoxMFDGPFitter(
+            num_fidelities=2, batch_size=n, num_epochs_1=2, num_epochs_2=2,
+            opt_grid_size=10, pareto_set_size=4, pad_data=True,
+        )
+        fitter.initialize_mfdgp(x, y, fid, "obj1", is_constraint=False)
+        fitter.train_mfdgps()
+
+    run(10, 0)
+    before = trainer.train_phase_stacked_jit._cache_size()
+    run(11, 1)  # same bucket (16)
+    after = trainer.train_phase_stacked_jit._cache_size()
+    assert after == before, f"training recompiled within a bucket: {before} -> {after}"

@@ -150,3 +150,71 @@ def pytest_approx(v, rel=1e-5):
     import pytest as _pytest
 
     return _pytest.approx(v, rel=rel)
+
+
+def test_zero_constraint_conditioned_training():
+    """With no constraints, the stacked constraint pytrees are explicitly
+    EMPTY (leading axis 0): the trainer must leave them empty, still update
+    objective params, and produce finite decreasing loss."""
+    from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
+
+    rng = np.random.default_rng(5)
+    n, d = 12, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    ys = [jnp.asarray(rng.normal(size=n)) for _ in range(2)]
+
+    fitter = BlackBoxMFDGPFitter(
+        num_fidelities=2, batch_size=n, num_epochs_1=2, num_epochs_2=3,
+        opt_grid_size=20, pareto_set_size=4,
+    )
+    fitter.initialize_mfdgp(x, ys[0], fid, "obj1", is_constraint=False)
+    fitter.initialize_mfdgp(x, ys[1], fid, "obj2", is_constraint=False)
+    fitter.train_mfdgps()
+    params_before = jax.tree.map(
+        jnp.array, fitter.models_objs["obj1"].params
+    )
+    cond = fitter.copy_uncond()
+    cond.sample_and_store_pareto_solution()
+    cond.train_conditioned_mfdgps()
+
+    assert cond.num_con == 0 and not cond.models_cons
+    moved = jax.tree.leaves(
+        jax.tree.map(
+            lambda a, b: bool(jnp.any(a != b)),
+            params_before, cond.models_objs["obj1"].params,
+        )
+    )
+    assert any(moved), "objective params did not move in conditioned training"
+
+
+def test_recommendation_uses_noiseless_constraint_variance():
+    """Reference toy:545-546 subtracts the likelihood noise from constraint
+    predictive variances before the P > 0.999 feasibility test. Compare the
+    feasibility probability the loop computes against a hand computation with
+    the noiseless variance."""
+    from scipy.stats import norm as _norm
+
+    from mobocmf_tpu.models import mfdgp as M
+
+    rng = np.random.default_rng(7)
+    n, d = 10, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    y = jnp.asarray(rng.normal(size=(n, 1)))
+    model = M.init_mfdgp(jax.random.key(0), x, y, fid, 2)
+    grid = jnp.asarray(rng.uniform(size=(6, d)))
+
+    mu, var = M.predict_for_acquisition(model.params, model.consts, model.config, grid, 1)
+    noise = float(M.likelihood_noise(model.params, model.consts, 1))
+    want = 1.0 - _norm.cdf(
+        (0.0 - np.asarray(mu)) / np.sqrt(np.maximum(np.asarray(var) - noise, 1e-12))
+    )
+
+    # replicate the loop's computation path (bo/loop.recommend_and_score)
+    var_latent = np.maximum(np.asarray(var) - noise, 1e-12)
+    got = 1.0 - _norm.cdf((0.0 - np.asarray(mu)) / np.sqrt(var_latent))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # and the noisy version must differ (the round-1 bug)
+    noisy = 1.0 - _norm.cdf((0.0 - np.asarray(mu)) / np.sqrt(np.asarray(var)))
+    assert np.max(np.abs(noisy - want)) > 0
