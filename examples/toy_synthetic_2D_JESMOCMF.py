@@ -64,6 +64,26 @@ def main():
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--eval-highest-fidelity", action="store_true")
     parser.add_argument("--log-dir", default="toy2d_logs")
+    parser.add_argument(
+        "--track-recommendation", action="store_true",
+        help="per-iteration model recommendation + 6-tuple hypervolumes.txt "
+        "(reference toy:533-618)",
+    )
+    parser.add_argument(
+        "--dump-params", action="store_true",
+        help="kernel hyperparameter dumps to <log-dir>/params/ (toy:230-257)",
+    )
+    parser.add_argument(
+        "--plots", action="store_true",
+        help="predictive/acquisition contour PDFs to <log-dir>/plots/ "
+        "(toy:139-226,484-493)",
+    )
+    parser.add_argument("--store-models", action="store_true",
+                        help="orbax-checkpoint trained models per iteration")
+    parser.add_argument("--load-models", action="store_true",
+                        help="restore per-iteration models instead of retraining")
+    parser.add_argument("--no-pad-data", action="store_true",
+                        help="exact reference shapes (recompiles as N grows)")
     args = parser.parse_args()
 
     import jax
@@ -97,17 +117,22 @@ def main():
     x_init = np.random.uniform(size=(n_low + n_high, 2))
     fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
 
+    common = dict(
+        num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
+        eval_highest_fidelity=args.eval_highest_fidelity,
+        track_recommendation=args.track_recommendation,
+        dump_params=args.dump_params, plot_surfaces=args.plots,
+        store_models_in_disk=args.store_models,
+        load_models_from_disk=args.load_models,
+        pad_data=not args.no_pad_data,
+    )
     if args.fast:
         config = BOConfig(
-            num_bo_iterations=args.iters, num_epochs_1=10, num_epochs_2=20,
-            opt_grid_size=50, pareto_set_size=10, seed=SEED, log_dir=args.log_dir,
-            eval_highest_fidelity=args.eval_highest_fidelity,
+            num_epochs_1=10, num_epochs_2=20, opt_grid_size=50,
+            pareto_set_size=10, **common,
         )
     else:
-        config = BOConfig(
-            num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
-            eval_highest_fidelity=args.eval_highest_fidelity,
-        )
+        config = BOConfig(**common)
     state = run_bo_loop(blackboxes, x_init, fid_init, config)
     print("hypervolume trajectory:", state.hypervolumes)
 

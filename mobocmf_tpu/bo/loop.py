@@ -70,6 +70,18 @@ class BOConfig:
     # iteration. On by default — this is the TPU-first execution path; set
     # False for exact reference shapes.
     pad_data: bool = True
+    # per-iteration kernel-hyperparameter dumps to <log_dir>/params/*.txt
+    # (reference toy:230-257 via print_lengthscales_and_outputscale)
+    dump_params: bool = False
+    # per-iteration contour plots (2-D problems) of predictive mean/std and
+    # acquisition surfaces to <log_dir>/plots/ (reference toy:139-226,484-493)
+    plot_surfaces: bool = False
+    # orbax checkpoints of the trained (uncond, cond) fitters per iteration
+    # (reference store_models_in_disk / load_models_from_disk, toy:38-45,
+    # 366-425): store writes <log_dir>/models/iter{it}/{uncond,cond}; load
+    # restores them instead of retraining when present
+    store_models_in_disk: bool = False
+    load_models_from_disk: bool = False
 
 
 @dataclasses.dataclass
@@ -100,6 +112,7 @@ def run_bo_loop(
     fid = np.asarray(fidelities_init, dtype=int).reshape(-1)
 
     # resume from logs if present (reference toy:277-301)
+    start_iter = 0
     if log_dir is not None:
         os.makedirs(log_dir, exist_ok=True)
         pts_file = os.path.join(log_dir, "points_evaluated.txt")
@@ -109,7 +122,8 @@ def run_bo_loop(
             fid_extra = np.loadtxt(fid_file).reshape(-1).astype(int)
             x = np.vstack([x, x_extra])
             fid = np.concatenate([fid, fid_extra])
-            print(f"[resume] replayed {x_extra.shape[0]} evaluated points")
+            start_iter = x_extra.shape[0]
+            print(f"[resume] replayed {start_iter} evaluated points")
 
     def eval_all(x_pts: np.ndarray, f: np.ndarray) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
@@ -124,12 +138,10 @@ def run_bo_loop(
 
     ys = eval_all(x, fid)
     state = BOState(x=x, fidelities=fid, ys=ys, hypervolumes=[])
-    start_iter = 0
     if log_dir is not None:
-        hv_file = os.path.join(log_dir, "hypervolumes.txt")
-        if os.path.exists(hv_file) and os.path.getsize(hv_file) > 0:
-            state.hypervolumes = list(np.atleast_1d(np.loadtxt(hv_file)))
-            start_iter = len(state.hypervolumes)
+        obs_file = os.path.join(log_dir, "observed_hypervolumes.txt")
+        if os.path.exists(obs_file) and os.path.getsize(obs_file) > 0:
+            state.hypervolumes = list(np.atleast_1d(np.loadtxt(obs_file)))
 
     prev_fitter = None
     for it in range(start_iter, config.num_bo_iterations):
@@ -160,11 +172,44 @@ def run_bo_loop(
                 previously_trained_model=prev_model,
             )
 
-        fitter.train_mfdgps()
+        models_dir = (
+            os.path.join(log_dir, "models", f"iter{it}") if log_dir is not None else None
+        )
+        loaded = False
+        if config.load_models_from_disk and models_dir is not None:
+            try:
+                from mobocmf_tpu.util.checkpoint import restore_fitter
+
+                fitter = restore_fitter(os.path.join(models_dir, "uncond"))
+                cond = restore_fitter(os.path.join(models_dir, "cond"))
+                loaded = True
+                print(f"[BO iter {it}] restored models from {models_dir}")
+            except Exception:
+                loaded = False
+        if not loaded:
+            fitter.train_mfdgps()
+            cond = fitter.copy_uncond()
+            cond.sample_and_store_pareto_solution()
+            cond.train_conditioned_mfdgps()
+            if config.store_models_in_disk and models_dir is not None:
+                from mobocmf_tpu.util.checkpoint import save_fitter
+
+                save_fitter(os.path.join(models_dir, "uncond"), fitter)
+                save_fitter(os.path.join(models_dir, "cond"), cond)
         prev_fitter = fitter
-        cond = fitter.copy_uncond()
-        cond.sample_and_store_pareto_solution()
-        cond.train_conditioned_mfdgps()
+
+        if config.dump_params and log_dir is not None:
+            from mobocmf_tpu.util.describe import describe_hyperparams
+
+            params_dir = os.path.join(log_dir, "params")
+            os.makedirs(params_dir, exist_ok=True)
+            for bb in blackboxes:
+                model = fitter.get_model(bb.name, is_constraint=bb.is_constraint)
+                with open(
+                    os.path.join(params_dir, f"{bb.name}_iter{it}.txt"), "w"
+                ) as fh:
+                    for layer, vals in describe_hyperparams(model).items():
+                        fh.write(f"{layer}: {vals}\n")
 
         jes = JESMOC_MFDGP(
             model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
@@ -191,29 +236,133 @@ def run_bo_loop(
         print(f"[BO iter {it}] fidelity={fid_next} x={x_next.ravel()} HV={hv:.6f}")
         sys.stdout.flush()
 
+        rec = None
         if config.track_recommendation:
-            rec_set, hv_rec, hv_opt = recommend_and_score(
+            rec = recommend_and_score(
                 fitter, blackboxes, stats, config,
                 grid_size=config.recommendation_grid_size, seed=config.seed + it,
             )
             print(
-                f"[BO iter {it}] recommended {rec_set.shape[0]} points, "
-                f"HV={hv_rec:.6f} / optimal {hv_opt:.6f}"
+                f"[BO iter {it}] recommended {rec.num_points_final} points, "
+                f"HV={rec.hv:.6f} / optimal {rec.hv_optimal:.6f} "
+                f"(feasible={rec.feasible}, dropped={rec.num_infeasible})"
             )
-            if log_dir is not None:
-                with open(os.path.join(log_dir, "hypervolume_solution.txt"), "a") as fh:
-                    fh.write(f"{hv_rec} {hv_opt}\n")
+
+        if config.plot_surfaces and log_dir is not None:
+            try:
+                plot_iteration_surfaces(
+                    os.path.join(log_dir, "plots"), it, fitter, cond, blackboxes,
+                    stats, config,
+                )
+            except Exception as e:  # plotting must never kill a campaign
+                print(f"[BO iter {it}] plotting failed: {e}")
 
         if log_dir is not None:
             with open(os.path.join(log_dir, "points_evaluated.txt"), "a") as fh:
                 np.savetxt(fh, x_next)
             with open(os.path.join(log_dir, "fidelities_evaluated.txt"), "a") as fh:
-                fh.write(f"{fid_next}\n")
-            with open(os.path.join(log_dir, "hypervolumes.txt"), "a") as fh:
+                fh.write(f"{float(fid_next)}\n")
+            with open(os.path.join(log_dir, "observed_hypervolumes.txt"), "a") as fh:
                 fh.write(f"{hv}\n")
+            if rec is not None:
+                # the reference's 6-tuple row (toy:616-618)
+                with open(os.path.join(log_dir, "hypervolumes.txt"), "a") as fh:
+                    fh.write(
+                        f"{rec.hv:f} {rec.hv_optimal:f} {float(rec.feasible):f} "
+                        f"{float(rec.num_infeasible):f} {float(rec.num_points_final):f} "
+                        f"{float(rec.num_points_initial):f}\n"
+                    )
+                with open(os.path.join(log_dir, "hypervolume_solution.txt"), "a") as fh:
+                    fh.write(f"{rec.hv_optimal:f}\n")
         if callback is not None:
             callback(it, state)
     return state
+
+
+def plot_iteration_surfaces(
+    plot_dir: str,
+    it: int,
+    fitter,
+    cond,
+    blackboxes: Sequence[Blackbox],
+    stats: Dict[str, Tuple[float, float]],
+    config: BOConfig,
+    grid_res: int = 40,
+) -> None:
+    """Per-iteration contour plots: predictive mean/std of every blackbox at
+    every fidelity, plus the coupled JES acquisition surface per fidelity
+    (reference toy:139-226, 484-493). 2-D problems only."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
+    from mobocmf_tpu.models import mfdgp as M
+
+    d = fitter.x_train.shape[1]
+    if d != 2:
+        return
+    os.makedirs(plot_dir, exist_ok=True)
+    g = np.linspace(0.0, 1.0, grid_res)
+    xx, yy = np.meshgrid(g, g)
+    grid = jnp.asarray(
+        np.vstack([xx.ravel(), yy.ravel()]).T, dtype=fitter.x_train.dtype
+    )
+
+    nbb, nf = len(blackboxes), config.num_fidelities
+    fig, axes = plt.subplots(nbb, 2 * nf, figsize=(4 * 2 * nf, 3.2 * nbb), squeeze=False)
+    for i, bb in enumerate(blackboxes):
+        model = fitter.get_model(bb.name, is_constraint=bb.is_constraint)
+        mean_s, std_s = stats[bb.name]
+        for f in range(nf):
+            mu, var = M.predict_for_acquisition(
+                model.params, model.consts, model.config, grid, f
+            )
+            mu = np.asarray(mu) * std_s + mean_s
+            sd = np.sqrt(np.asarray(var)) * std_s
+            for j, (vals, label) in enumerate([(mu, "mean"), (sd, "std")]):
+                ax = axes[i][2 * f + j]
+                c = ax.contourf(xx, yy, vals.reshape(grid_res, grid_res), levels=20)
+                fig.colorbar(c, ax=ax)
+                ax.set_title(f"{bb.name} f={f} {label}")
+    fig.suptitle(f"iteration {it}: predictive surfaces")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"predictive_iter{it}.pdf"))
+    plt.close(fig)
+
+    jes = JESMOC_MFDGP(
+        model=fitter, num_fidelities=nf, model_cond=cond, seed=config.seed + it
+    )
+    for bb in blackboxes:
+        for f in range(nf):
+            jes.add_blackbox(f, bb.name, cost_evaluation=bb.costs[f],
+                             is_constraint=bb.is_constraint)
+    fig, axes = plt.subplots(1, nf, figsize=(5 * nf, 4), squeeze=False)
+    for f in range(nf):
+        acq = np.asarray(jes.coupled_acq(grid, f))
+        ax = axes[0][f]
+        c = ax.contourf(xx, yy, acq.reshape(grid_res, grid_res), levels=20)
+        fig.colorbar(c, ax=ax)
+        ax.set_title(f"coupled JES acquisition f={f}")
+    fig.suptitle(f"iteration {it}: acquisition surfaces")
+    fig.tight_layout()
+    fig.savefig(os.path.join(plot_dir, f"acquisition_iter{it}.pdf"))
+    plt.close(fig)
+
+
+@dataclasses.dataclass
+class RecommendationScore:
+    """Per-iteration recommendation metrics — the reference's 6-tuple
+    hypervolumes.txt row (toy:616-618) plus the recommended set."""
+
+    rec_set: np.ndarray  # truly-feasible recommended points
+    hv: float  # HV of TRUE objective values at rec_set (toy:591-593)
+    hv_optimal: float  # optimal HV on the same grid (toy:600-614)
+    feasible: bool  # no recommended point violates a true constraint (toy:581)
+    num_infeasible: int  # recommended points dropped as truly infeasible
+    num_points_final: int  # rec points after dropping infeasible ones
+    num_points_initial: int  # rec points after the model-mean Pareto cull
 
 
 def recommend_and_score(
@@ -224,17 +373,15 @@ def recommend_and_score(
     grid_size: int = 1000,
     feasibility_prob: float = 0.999,
     seed: int = 0,
-) -> Tuple[np.ndarray, float, float]:
+) -> RecommendationScore:
     """Model-based recommendation + true-function hypervolume scoring.
 
     Reference toy_synthetic_2D_JESMOCMF.py:533-614: take a shared grid, keep
-    points the MODEL deems feasible with P > 0.999 (via the top-fidelity
-    predictive), Pareto-cull the model means, then score the TRUE functions'
-    HV at the recommended set against the optimal HV on the same grid.
-
-    Returns (recommended_set, hv_recommended, hv_optimal)."""
-    import jax as _jax
-
+    points the MODEL deems feasible with P > 0.999 (top-fidelity predictive,
+    likelihood noise subtracted — the test is on the latent process,
+    toy:545-546), Pareto-cull the model means, drop recommended points that
+    are TRULY infeasible (toy:583-589), then score the TRUE functions' HV at
+    the surviving set against the optimal HV on the same grid."""
     from mobocmf_tpu.models import mfdgp as M
     from mobocmf_tpu.moop.moop import pareto_front_mask
     from scipy.stats import norm as _norm
@@ -248,9 +395,26 @@ def recommend_and_score(
     objs = [bb for bb in blackboxes if not bb.is_constraint]
     cons = [bb for bb in blackboxes if bb.is_constraint]
 
-    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint,
-    # with the likelihood noise subtracted from the predictive variance
-    # (reference toy:545-546 — the feasibility test is on the LATENT process)
+    ref = (
+        np.asarray(config.hv_reference, dtype=float)
+        if config.hv_reference is not None
+        else np.array([1000.0] * len(objs))  # reference point (1000,1000), toy:592
+    )
+
+    def true_values(pts):
+        vals = np.stack(
+            [np.asarray(bb.fns[top](pts)).reshape(-1) for bb in objs], axis=1
+        )
+        feas = np.ones(pts.shape[0], dtype=bool)
+        for bb in cons:
+            feas &= np.asarray(bb.fns[top](pts)).reshape(-1) >= bb.threshold
+        return vals, feas
+
+    # optimal HV on the grid (true-feasible true-Pareto points, toy:600-614)
+    tv, tfeas = true_values(grid)
+    hv_opt = hypervolume(tv[tfeas], ref) if tfeas.any() else 0.0
+
+    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint
     feasible = np.ones(grid_size, dtype=bool)
     for bb in cons:
         model = fitter.get_model(bb.name, is_constraint=True)
@@ -264,7 +428,7 @@ def recommend_and_score(
         p_feas = 1.0 - _norm.cdf((thr_std - np.asarray(mu)) / np.sqrt(var_latent))
         feasible &= p_feas > feasibility_prob
     if not feasible.any():
-        return np.zeros((0, d)), 0.0, 0.0
+        return RecommendationScore(np.zeros((0, d)), 0.0, hv_opt, False, 0, 0, 0)
 
     # model-mean Pareto cull
     means = []
@@ -280,28 +444,21 @@ def recommend_and_score(
         pareto_front_mask(jnp.asarray(means), jnp.asarray(feasible))
     )
     rec_set = grid[mask]
+    num_ini = int(rec_set.shape[0])
 
-    # score with the TRUE functions
-    def true_front(pts):
-        vals = np.stack(
-            [np.asarray(bb.fns[top](pts)).reshape(-1) for bb in objs], axis=1
-        )
-        feas = np.ones(pts.shape[0], dtype=bool)
-        for bb in cons:
-            feas &= np.asarray(bb.fns[top](pts)).reshape(-1) >= bb.threshold
-        return vals[feas]
+    # drop recommended points that are TRULY infeasible (toy:583-589)
+    rec_vals, rec_feas = true_values(rec_set)
+    feasible_flag = bool(rec_feas.all())
+    rec_set = rec_set[rec_feas]
+    rec_vals = rec_vals[rec_feas]
+    num_fini = int(rec_set.shape[0])
 
-    ref = (
-        np.asarray(config.hv_reference, dtype=float)
-        if config.hv_reference is not None
-        else np.array([1000.0] * len(objs))  # reference point (1000,1000), toy:592
+    hv_rec = hypervolume(rec_vals, ref) if num_fini else 0.0
+    return RecommendationScore(
+        rec_set=rec_set, hv=hv_rec, hv_optimal=hv_opt, feasible=feasible_flag,
+        num_infeasible=num_ini - num_fini, num_points_final=num_fini,
+        num_points_initial=num_ini,
     )
-    hv_rec = hypervolume(true_front(rec_set), ref) if rec_set.shape[0] else 0.0
-
-    # optimal HV on the same grid (true-feasible true-Pareto points)
-    tf = true_front(grid)
-    hv_opt = hypervolume(tf, ref) if tf.shape[0] else 0.0
-    return rec_set, hv_rec, hv_opt
 
 
 def _observed_hypervolume(blackboxes, state: BOState, config: BOConfig) -> float:
