@@ -145,6 +145,9 @@ def run_bo_loop(
 
     prev_fitter = None
     for it in range(start_iter, config.num_bo_iterations):
+        import time as _time
+
+        t_iter = _time.time()
         n = state.x.shape[0]
         batch_size = config.batch_size or n
         fitter = BlackBoxMFDGPFitter(
@@ -233,8 +236,14 @@ def run_bo_loop(
         # hypervolume of feasible high-fidelity observations
         hv = _observed_hypervolume(blackboxes, state, config)
         state.hypervolumes.append(hv)
-        print(f"[BO iter {it}] fidelity={fid_next} x={x_next.ravel()} HV={hv:.6f}")
+        print(
+            f"[BO iter {it}] fidelity={fid_next} x={x_next.ravel()} HV={hv:.6f} "
+            f"n={n} wallclock={_time.time() - t_iter:.2f}s"
+        )
         sys.stdout.flush()
+        if log_dir is not None:
+            with open(os.path.join(log_dir, "iteration_seconds.txt"), "a") as fh:
+                fh.write(f"{it} {n} {_time.time() - t_iter:.3f}\n")
 
         rec = None
         if config.track_recommendation:

@@ -9,8 +9,7 @@ MFDGP hidden layers (/root/reference/mobocmf/layers/mfdgp_hidden_layer.py:41-115
 
 Raw params use the softplus ("Positive") transform, see core/constraints.py.
 The Gram computation is written as one matmul + elementwise exp so XLA maps it
-onto the MXU; a Pallas-tiled variant for large Grams lives in
-mobocmf_tpu/linalg/pallas_gram.py and is dispatched via `gram_backend`.
+onto the MXU (precision=HIGHEST — see CLAUDE.md's f32 numerical rules).
 """
 
 from __future__ import annotations

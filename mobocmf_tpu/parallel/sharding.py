@@ -66,3 +66,36 @@ def sharded_grid_eval(
         return np.stack([np.asarray(call(f, grid)) for f in fns])
     grid_sh = shard_rows(mesh, jnp.asarray(grid))
     return np.stack([np.asarray(call(f, grid_sh))[:n] for f in fns])
+
+
+def shard_inducing(mesh: Mesh, params, consts, axis: str = "dp", stacked: bool = True):
+    """Inducing-dimension tensor parallelism (SURVEY.md section 2.2 TP row).
+
+    Shards every per-layer quantity that carries the inducing axis m over the
+    mesh axis: z_x rows, variational means, and variational Cholesky rows.
+    Under GSPMD the Gram construction and the Knm / feature matmuls then run
+    sharded over m (XLA inserts the collectives); the m x m Cholesky and
+    triangular solves are gathered by XLA (no distributed Cholesky in XLA) —
+    worthwhile only at the >= 2048-inducing scale configs where the Gram and
+    cross-covariance work dominates.
+
+    `stacked`: params carry a leading blackbox axis (fit.trainer.stack_models).
+    Kernel params and noises stay replicated. Returns (params, consts).
+    """
+    lead = (None,) if stacked else ()
+
+    def put(a, *spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    new_layers = []
+    for lp in params.layers:
+        var = lp.variational._replace(
+            mean=put(lp.variational.mean, *lead, axis),
+            chol_raw=put(lp.variational.chol_raw, *lead, axis, None),
+        )
+        new_layers.append(lp._replace(variational=var))
+    params = params._replace(layers=tuple(new_layers))
+    consts = consts._replace(
+        z_x=tuple(put(z, axis, None) for z in consts.z_x)
+    )
+    return params, consts

@@ -88,3 +88,47 @@ def test_stacked_training_on_bb_mesh():
         sp, sc, config, x, ys, fid, keys, 3, 0.003, mask, n
     )
     assert np.all(np.isfinite(np.asarray(logs.loss)))
+
+
+def test_inducing_dim_tp_matches_replicated():
+    """Inducing-dimension TP (SURVEY 2.2 TP row): a stacked training step with
+    z/variational state sharded over 'dp' must produce the same loss and
+    params as the replicated run. m is divisible by the mesh (256 here; the
+    scale configs use 2048 — same program, bigger shapes)."""
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.models import mfdgp as M
+    from mobocmf_tpu.parallel.sharding import shard_inducing
+
+    mesh = make_mesh(8, bb=1)
+    m, d = 256, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(m, d)))
+    y0 = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=m))
+    y1 = jnp.asarray(np.cos(2 * np.asarray(x)[:, 1]) + 0.1 * rng.normal(size=m))
+    fid = jnp.asarray((np.arange(m) % 2))
+
+    models = [
+        M.init_mfdgp(jax.random.key(i), x, y[:, None], fid, 2)
+        for i, y in enumerate([y0, y1])
+    ]
+    sp, sc, config = trainer.stack_models(models)
+    ys = jnp.stack([y0, y1])
+    keys = jax.random.split(jax.random.key(7), 2)
+    mask = jax.vmap(trainer.mask_all_free)(sp)
+
+    new_p, logs = trainer.train_phase_stacked_jit(
+        sp, sc, config, x, ys, fid, keys, 1, 0.001, mask, m
+    )
+    loss_repl = np.asarray(logs.loss)
+
+    sp_sh, sc_sh = shard_inducing(mesh, sp, sc)
+    x_sh = jax.device_put(x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp", None)))
+    new_p_sh, logs_sh = trainer.train_phase_stacked_jit(
+        sp_sh, sc_sh, config, x_sh, ys, fid, keys, 1, 0.001, mask, m
+    )
+    loss_sh = np.asarray(logs_sh.loss)
+
+    # sharded reductions reorder float ops; differences are O(1e-9) in f64
+    np.testing.assert_allclose(loss_sh, loss_repl, rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(new_p), jax.tree.leaves(new_p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8)
