@@ -3,10 +3,12 @@
 Mirror of /root/reference/examples/example_acquisition_mfdgp_forrester/
 example_acquisition_mfdgp_forrester.py: fit an MFDGP to the Forrester pair,
 sample a Pareto solution (single objective here — the Pareto "front" is the
-minimum), train the conditioned model and plot predictive means/stds and the
-per-fidelity JES acquisition.
+minimum), train the conditioned model, pickle-round-trip the fitter and the
+acquisition mid-pipeline (reference :116-118, 137-139), and plot both the
+UNCONDITIONED and CONDITIONED predictive means/stds with the Pareto sample
+marked, plus the per-fidelity JES acquisition (reference :157-417).
 
-Run: python examples/example_acquisition_mfdgp_forrester.py [--fast]
+Run: python examples/example_acquisition_mfdgp_forrester.py [--fast] [--plot]
 """
 
 import argparse
@@ -55,6 +57,16 @@ def main():
     fitter.initialize_mfdgp(x, y[:, None], fid, "obj1", is_constraint=False)
     fitter.train_mfdgps()
 
+    # pickle round-trip of the trained fitter mid-pipeline (reference :116-118)
+    import tempfile
+
+    from mobocmf_tpu.util.util import read_pickle, save_pickle
+
+    with tempfile.TemporaryDirectory() as tmp:
+        save_pickle(tmp, "fitter.pkl", fitter)
+        fitter = read_pickle(tmp, "fitter.pkl")
+    print("fitter pickle round-trip OK")
+
     cond = fitter.copy_uncond()
     cond.sample_and_store_pareto_solution()
     cond.num_epochs_2 = epochs[2]
@@ -64,12 +76,22 @@ def main():
     jes.add_blackbox(0, "obj1", cost_evaluation=1.0)
     jes.add_blackbox(1, "obj1", cost_evaluation=10.0)
 
+    # pickle round-trip of the whole acquisition object (reference :137-139)
+    with tempfile.TemporaryDirectory() as tmp:
+        save_pickle(tmp, "jesmoc.pkl", jes)
+        jes = read_pickle(tmp, "jesmoc.pkl")
+    print("jesmoc pickle round-trip OK")
+
     grid = jnp.linspace(0.0, 1.0, 200)[:, None]
     from mobocmf_tpu.models import mfdgp as M
 
     model = fitter.get_model("obj1")
-    mu0, var0 = M.predict_for_acquisition(model.params, model.consts, model.config, grid, 0)
-    mu1, var1 = M.predict_for_acquisition(model.params, model.consts, model.config, grid, 1)
+    model_c = cond.get_model("obj1")
+
+    def moments(m_, f):
+        mu, var = M.predict_for_acquisition(m_.params, m_.consts, m_.config, grid, f)
+        return np.asarray(mu) * y_std + y_mean, np.sqrt(np.asarray(var)) * y_std
+
     acq0 = jes.decoupled_acq(grid, 0, "obj1", is_constraint=False)
     acq1 = jes.decoupled_acq(grid, 1, "obj1", is_constraint=False)
     x_next, f_next = jes.get_nextpoint_coupled(iteration=0, verbose=True)
@@ -82,19 +104,23 @@ def main():
         import matplotlib.pyplot as plt
 
         g = np.asarray(grid).ravel()
-        fig, axes = plt.subplots(3, 1, figsize=(8, 10), sharex=True)
-        for ax, (mu, var, name, truth) in zip(
-            axes[:2],
-            [
-                (mu0, var0, "low fidelity", forrester_mf0),
-                (mu1, var1, "high fidelity", forrester_mf1),
-            ],
-        ):
-            m = np.asarray(mu) * y_std + y_mean
-            s = np.sqrt(np.asarray(var)) * y_std
+        pset = np.asarray(jes.pareto_set).ravel()
+        pfront = np.asarray(jes.pareto_front).ravel() * y_std + y_mean
+        fig, axes = plt.subplots(3, 1, figsize=(8, 12), sharex=True)
+        for ax, f, name, truth, data_x, data_y in [
+            (axes[0], 0, "low fidelity", forrester_mf0, x_low, y_low),
+            (axes[1], 1, "high fidelity", forrester_mf1, x_high, y_high),
+        ]:
+            mu_u, sd_u = moments(model, f)
+            mu_c, sd_c = moments(model_c, f)
             ax.plot(g, truth(g[:, None]).ravel(), "k--", label="truth")
-            ax.plot(g, m, "b", label="pred mean")
-            ax.fill_between(g, m - 2 * s, m + 2 * s, alpha=0.2)
+            ax.plot(g, mu_u, "b", label="unconditioned mean")
+            ax.fill_between(g, mu_u - 2 * sd_u, mu_u + 2 * sd_u, alpha=0.2, color="b")
+            ax.plot(g, mu_c, "g", label="conditioned mean")
+            ax.fill_between(g, mu_c - 2 * sd_c, mu_c + 2 * sd_c, alpha=0.15, color="g")
+            ax.plot(data_x.ravel(), data_y, "ko", ms=5, label="data")
+            if f == 1:
+                ax.plot(pset, pfront, "r*", ms=12, label="pareto sample")
             ax.set_title(name)
             ax.legend()
         axes[2].plot(g, np.asarray(acq0), label="JES f=0")
