@@ -164,10 +164,18 @@ class BlackBoxMFDGPFitter:
             return n
         return self.batch_size
 
-    def _train_group(self, names, models_dict, ys, label):
-        models = [models_dict[n] for n in names]
+    def _train_group(self, entries, label):
+        """entries: list of (name, is_constraint, y). All blackboxes share x
+        and shapes, so objectives AND constraints stack into ONE vmapped
+        pytree — one jitted scan trains everything simultaneously (the
+        reference trains each model sequentially, :134-152; round 1 still ran
+        two sequential groups)."""
+        models = [
+            self.models_cons[n] if is_con else self.models_objs[n]
+            for n, is_con, _ in entries
+        ]
         sp, sc, config = trainer.stack_models(models)
-        ys_arr = jnp.stack(ys)
+        ys_arr = jnp.stack([y for _, _, y in entries])
         nm = len(models)
         fid = self.fidelities
         num_data = jnp.asarray(self.num_real, dtype=self.x_train.dtype)
@@ -195,17 +203,17 @@ class BlackBoxMFDGPFitter:
             )
             sys.stdout.flush()
 
-        for i, n in enumerate(names):
-            models_dict[n] = models_dict[n]._replace(
-                params=jax.tree.map(lambda a, i=i: a[i], sp)
-            )
+        for i, (n, is_con, _) in enumerate(entries):
+            d = self.models_cons if is_con else self.models_objs
+            d[n] = d[n]._replace(params=jax.tree.map(lambda a, i=i: a[i], sp))
 
     def train_mfdgps(self):
-        """Two-phase schedule (reference :154-176)."""
-        if self.num_obj:
-            self._train_group(self.obj_names, self.models_objs, self.ys_objs, "OBJ")
-        if self.num_con:
-            self._train_group(self.con_names, self.models_cons, self.ys_cons, "CON")
+        """Two-phase schedule (reference :154-176), all blackboxes at once."""
+        entries = [
+            (n, False, y) for n, y in zip(self.obj_names, self.ys_objs)
+        ] + [(n, True, y) for n, y in zip(self.con_names, self.ys_cons)]
+        if entries:
+            self._train_group(entries, "ALL")
         self.models_uncond_trained = True
 
     # -- Pareto sampling -----------------------------------------------------------

@@ -159,7 +159,12 @@ def test_bo_loop_one_iteration(tmp_path):
     assert state.x.shape[0] == 13
     assert len(state.hypervolumes) == 1
     assert (tmp_path / "points_evaluated.txt").exists()
-    assert (tmp_path / "hypervolume_solution.txt").exists()
-    hv_rec, hv_opt = np.loadtxt(tmp_path / "hypervolume_solution.txt")
+    # reference-format logs: hypervolumes.txt = the 6-tuple (toy:616-618),
+    # hypervolume_solution.txt = the optimal HV (toy:620-621)
+    row = np.loadtxt(tmp_path / "hypervolumes.txt").reshape(-1)
+    assert row.shape[0] == 6
+    hv_rec, hv_opt, feas, n_inf, n_fini, n_ini = row
     assert hv_opt >= hv_rec >= 0.0
+    assert n_ini >= n_fini >= 0 and n_inf == n_ini - n_fini
     assert np.isfinite(hv_opt) and hv_opt > 0
+    assert float(np.loadtxt(tmp_path / "hypervolume_solution.txt")) == hv_opt
