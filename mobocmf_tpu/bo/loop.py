@@ -179,6 +179,7 @@ def run_bo_loop(
             os.path.join(log_dir, "models", f"iter{it}") if log_dir is not None else None
         )
         loaded = False
+        phase_t: Dict[str, float] = {}
         if config.load_models_from_disk and models_dir is not None:
             try:
                 from mobocmf_tpu.util.checkpoint import restore_fitter
@@ -190,10 +191,16 @@ def run_bo_loop(
             except Exception:
                 loaded = False
         if not loaded:
+            t0 = _time.time()
             fitter.train_mfdgps()
+            phase_t["train"] = _time.time() - t0
+            t0 = _time.time()
             cond = fitter.copy_uncond()
             cond.sample_and_store_pareto_solution()
+            phase_t["pareto"] = _time.time() - t0
+            t0 = _time.time()
             cond.train_conditioned_mfdgps()
+            phase_t["cond"] = _time.time() - t0
             if config.store_models_in_disk and models_dir is not None:
                 from mobocmf_tpu.util.checkpoint import save_fitter
 
@@ -224,7 +231,9 @@ def run_bo_loop(
                     level, bb.name, cost_evaluation=bb.costs[level],
                     is_constraint=bb.is_constraint,
                 )
+        t0 = _time.time()
         x_next, fid_next = jes.get_nextpoint_coupled(iteration=it, verbose=True)
+        phase_t["acq"] = _time.time() - t0
         x_next = np.asarray(x_next, dtype=float).reshape(1, d)
 
         y_next = eval_all(x_next, np.asarray([fid_next]))
@@ -247,10 +256,12 @@ def run_bo_loop(
 
         rec = None
         if config.track_recommendation:
+            t0 = _time.time()
             rec = recommend_and_score(
                 fitter, blackboxes, stats, config,
                 grid_size=config.recommendation_grid_size, seed=config.seed + it,
             )
+            phase_t["recommend"] = _time.time() - t0
             print(
                 f"[BO iter {it}] recommended {rec.num_points_final} points, "
                 f"HV={rec.hv:.6f} / optimal {rec.hv_optimal:.6f} "
@@ -266,6 +277,19 @@ def run_bo_loop(
             except Exception as e:  # plotting must never kill a campaign
                 print(f"[BO iter {it}] plotting failed: {e}")
 
+        if phase_t:
+            breakdown = " ".join(f"{k}={v:.2f}s" for k, v in phase_t.items())
+            print(f"[BO iter {it}] phases: {breakdown}")
+            if log_dir is not None:
+                with open(os.path.join(log_dir, "phase_seconds.txt"), "a") as fh:
+                    fh.write(
+                        f"{it} {n} "
+                        + " ".join(
+                            f"{phase_t.get(k, 0.0):.3f}"
+                            for k in ("train", "pareto", "cond", "acq", "recommend")
+                        )
+                        + "\n"
+                    )
         if log_dir is not None:
             with open(os.path.join(log_dir, "points_evaluated.txt"), "a") as fh:
                 np.savetxt(fh, x_next)
