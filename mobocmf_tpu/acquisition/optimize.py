@@ -11,6 +11,14 @@ Strategy (everything jitted, one dispatch per call):
 3. run L-BFGS (optax) in an unconstrained reparameterization x = sigmoid(z)
    of the box, vmapped over restarts (botorch runs L-BFGS-B per restart);
 4. return the best point seen (clipped to the box).
+
+maxiter is a CAP, not a step count: iteration runs inside a bounded
+lax.while_loop that stops once the restart's gradient satisfies
+max|g| <= gtol — the same convergence contract as scipy L-BFGS-B's
+pgtol=1e-5 that botorch's optimize_acqf inherits. Acquisition surfaces
+typically converge in 20-60 iterations, so this cuts the dominant
+BO-iteration acquisition phase several-fold versus a fixed 200-step scan
+(under vmap the loop runs until the slowest restart converges).
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ def optimize_acqf_box(
     num_restarts: int = 5,
     raw_samples: int = 200,
     maxiter: int = 200,
+    gtol: float = 1e-5,
     dtype=jnp.float64,
 ) -> Tuple[Array, Array]:
     """Maximize acq_fn (batched: (N,d)->(N,)) over [0,1]^d.
@@ -56,17 +65,24 @@ def optimize_acqf_box(
     value_and_grad = optax.value_and_grad_from_state(neg_acq_z)
 
     def run_one(z0):
-        def step(carry, _):
-            z, state = carry
+        def cond(carry):
+            _, _, grad, it = carry
+            # scipy L-BFGS-B's pgtol contract: stop when max|g| <= gtol
+            # (grad lags one step: it is the gradient at the previous iterate)
+            return (it < maxiter) & (jnp.max(jnp.abs(grad)) > gtol)
+
+        def body(carry):
+            z, state, _, it = carry
             value, grad = value_and_grad(z, state=state)
             updates, state = solver.update(
                 grad, state, z, value=value, grad=grad, value_fn=neg_acq_z
             )
             z = optax.apply_updates(z, updates)
-            return (z, state), None
+            return (z, state, grad, it + 1)
 
         state0 = solver.init(z0)
-        (z, _), _ = jax.lax.scan(step, (z0, state0), None, length=maxiter)
+        g0 = jnp.full_like(z0, jnp.inf)  # force at least one iteration
+        (z, _, _, _) = jax.lax.while_loop(cond, body, (z0, state0, g0, 0))
         x = jax.nn.sigmoid(z)
         return x, acq_fn(x[None, :])[0]
 
