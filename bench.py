@@ -232,9 +232,17 @@ def bench_bo_iteration():
 
     import jax.numpy as jnp
 
-    key = jax.random.key(0)
-    keys = jax.random.split(key, 4)
-    samples = [rff.sample_prior(k, D, 2) for k in keys]
+    from mobocmf_tpu.test_functions.prior_problem import sample_problem
+
+    # Feasibility-calibrated problem (like the reference toy:60-76): an
+    # uncalibrated prior draw can have a near-empty feasible region, which
+    # sends the Pareto-sampling retry loop into tens of silent constraint
+    # resamples and makes the measured iteration wall-clock bimodal.
+    objs, cons = sample_problem(
+        jax.random.key(0), d=D, num_constraints=2,
+        probe=np.random.default_rng(7).uniform(size=(500, D)),
+    )
+    samples = objs + cons
 
     def make_fns(sample):
         return [

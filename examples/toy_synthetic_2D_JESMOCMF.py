@@ -25,37 +25,10 @@ SEED = 4
 
 def sample_problem(key, d=2, num_constraints=2, max_tries=30):
     """Prior-sampled objectives + feasibility-calibrated constraints
-    (reference toy:50-96)."""
-    import jax
-    from mobocmf_tpu.sampling import rff
+    (reference toy:50-96; shared generator in test_functions/prior_problem)."""
+    from mobocmf_tpu.test_functions.prior_problem import sample_problem as _sp
 
-    keys = jax.random.split(key, 2)
-    objs = [rff.sample_prior(k, d, 2) for k in keys]
-
-    cons = []
-    probe = np.random.uniform(size=(500, d))
-    import jax.numpy as jnp
-
-    probe_j = jnp.asarray(probe)
-    key_c = jax.random.fold_in(key, 999)
-    joint_feas = np.ones(probe.shape[0], dtype=bool)
-    while len(cons) < num_constraints:
-        for _ in range(max_tries):
-            key_c, k = jax.random.split(key_c)
-            cand = rff.sample_prior(k, d, 2)
-            vals = np.asarray(rff.eval_sample(cand, probe_j))
-            frac = float((vals >= 0).mean())
-            # per-constraint 10-90% feasibility like the reference (toy:60-76),
-            # PLUS a joint-feasibility floor — independently calibrated
-            # constraints can otherwise leave a jointly infeasible problem
-            # (observed for SEED=4: joint feasible fraction exactly 0)
-            if 0.1 <= frac <= 0.9 and (joint_feas & (vals >= 0)).mean() >= 0.05:
-                cons.append(cand)
-                joint_feas &= vals >= 0
-                break
-        else:
-            raise ValueError("could not sample a constraint with 10-90% feasibility")
-    return objs, cons
+    return _sp(key, d=d, num_constraints=num_constraints, max_tries=max_tries)
 
 
 def main():

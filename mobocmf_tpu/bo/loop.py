@@ -70,6 +70,12 @@ class BOConfig:
     # iteration. On by default — this is the TPU-first execution path; set
     # False for exact reference shapes.
     pad_data: bool = True
+    # Pareto-sampling polish backend: "slsqp" (host scipy, reference
+    # moop.py:72-139 semantics, fused single-dispatch device evals) |
+    # "device" (multi-start penalty L-BFGS fully on device, SURVEY §7.1's TPU
+    # path) | "none". Same accept rule either way: a polished point joins the
+    # grid only if it improves the best feasible value and stays feasible.
+    polish: str = "slsqp"
     # per-iteration kernel-hyperparameter dumps to <log_dir>/params/*.txt
     # (reference toy:230-257 via print_lengthscales_and_outputscale)
     dump_params: bool = False
@@ -156,7 +162,7 @@ def run_bo_loop(
             num_epochs_1=config.num_epochs_1, num_epochs_2=config.num_epochs_2,
             pareto_set_size=config.pareto_set_size, opt_grid_size=config.opt_grid_size,
             type_lengthscale=config.type_lengthscale, seed=config.seed + it,
-            pad_data=config.pad_data,
+            pad_data=config.pad_data, polish=config.polish,
         )
         stats = {}
         for bb in blackboxes:
@@ -179,7 +185,8 @@ def run_bo_loop(
             os.path.join(log_dir, "models", f"iter{it}") if log_dir is not None else None
         )
         loaded = False
-        phase_t: Dict[str, float] = {}
+        # setup = fitter construction + per-blackbox model init
+        phase_t: Dict[str, float] = {"setup": _time.time() - t_iter}
         if config.load_models_from_disk and models_dir is not None:
             try:
                 from mobocmf_tpu.util.checkpoint import restore_fitter
@@ -286,7 +293,7 @@ def run_bo_loop(
                         f"{it} {n} "
                         + " ".join(
                             f"{phase_t.get(k, 0.0):.3f}"
-                            for k in ("train", "pareto", "cond", "acq", "recommend")
+                            for k in ("setup", "train", "pareto", "cond", "acq", "recommend")
                         )
                         + "\n"
                     )

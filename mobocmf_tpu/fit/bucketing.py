@@ -54,43 +54,37 @@ def next_bucket(n: int) -> int:
     return ((n + step - 1) // step) * step
 
 
-def pad_inputs(x: Array, fidelities: Array, target: int) -> Tuple[Array, Array, Array]:
-    """Pad (x, fidelities) with far-away rows up to `target` rows.
+def pad_inputs_np(
+    x: np.ndarray, fidelities: np.ndarray, target: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad (x, fidelities) with far-away rows up to `target` rows, on HOST
+    (eager device ops over the TPU tunnel cost ~20 ms each; setup padding is
+    pure numpy and device arrays are created once per fitter).
+
+    Pads are 100 + 10*i on every coordinate: the deep-MF kernel's smooth
+    component uses a 10x-median lengthscale (~5 on unit-box data), so pads
+    must be VERY far out for k(x, pad) to vanish; 10-apart keeps pad-pad
+    correlations small enough for a well-conditioned Gram.
 
     Returns (x_padded, fidelities_padded, row_weights) where row_weights is
-    1.0 for real rows and 0.0 for padding.
-    """
+    1.0 for real rows and 0.0 for padding."""
     n, d = x.shape
     extra = target - n
     assert extra >= 0, f"target {target} < rows {n}"
-    dtype = x.dtype
     if extra == 0:
-        return x, fidelities, jnp.ones((n,), dtype=dtype)
-    # 100 + 10*i per coordinate: the deep-MF kernel's smooth component uses a
-    # 10x-median lengthscale (~5 on unit-box data), so pads must be VERY far
-    # out for k(x, pad) to vanish; 10-apart keeps pad-pad correlations small
-    # enough for a well-conditioned Gram
-    pad_x = 100.0 + 10.0 * jnp.arange(extra, dtype=dtype)[:, None] * jnp.ones(
-        (1, d), dtype=dtype
+        return x, fidelities, np.ones((n,), dtype=x.dtype)
+    pad_x = 100.0 + 10.0 * np.arange(extra, dtype=x.dtype)[:, None] * np.ones(
+        (1, d), dtype=x.dtype
     )
-    x_p = jnp.concatenate([x, pad_x], axis=0)
-    fid_p = jnp.concatenate(
+    x_p = np.concatenate([x, pad_x], axis=0)
+    fid_p = np.concatenate(
         [
-            jnp.asarray(fidelities).reshape(-1).astype(jnp.int32),
-            jnp.full((extra,), PAD_FIDELITY, dtype=jnp.int32),
+            np.asarray(fidelities).reshape(-1).astype(np.int32),
+            np.full((extra,), PAD_FIDELITY, dtype=np.int32),
         ]
     )
-    w = jnp.concatenate([jnp.ones((n,), dtype=dtype), jnp.zeros((extra,), dtype=dtype)])
+    w = np.concatenate([np.ones((n,), dtype=x.dtype), np.zeros((extra,), dtype=x.dtype)])
     return x_p, fid_p, w
-
-
-def pad_targets(y: Array, target: int) -> Array:
-    """Pad a target vector with zeros up to `target` rows."""
-    y = jnp.asarray(y).reshape(-1)
-    extra = target - y.shape[0]
-    if extra == 0:
-        return y
-    return jnp.concatenate([y, jnp.zeros((extra,), dtype=y.dtype)])
 
 
 def pad_rows_np(a: np.ndarray, target: int, fill: float = 0.0) -> np.ndarray:

@@ -53,6 +53,7 @@ class BlackBoxMFDGPFitter:
         seed: int = 0,
         whitened: bool = False,
         pad_data: bool = False,
+        polish: str = "slsqp",
     ):
         """pad_data: bucket the training rows to geometric sizes with masked
         far-away padding (fit/bucketing.py) so a growing BO campaign compiles
@@ -75,6 +76,11 @@ class BlackBoxMFDGPFitter:
         self.ys_objs: List[Array] = []
         self.ys_cons: List[Array] = []
         self.pad_data = pad_data
+        # Pareto-sampling polish backend: "slsqp" = host scipy with fused
+        # single-dispatch device evals (reference moop.py:72-139 semantics);
+        # "device" = multi-start penalty L-BFGS fully on device (SURVEY §7.1's
+        # TPU path — no host round trips); "none" disables polishing.
+        self.polish = polish
         self.num_real: Optional[int] = None  # real rows (x_train may be padded)
         self.row_weights: Optional[Array] = None
 
@@ -89,6 +95,7 @@ class BlackBoxMFDGPFitter:
         self.type_lengthscale = type_lengthscale
         self.whitened = whitened
         self.key = jax.random.key(seed)
+        self._x_np: Optional[np.ndarray] = None
 
         self.pareto_solution: Optional[ParetoSolution] = None
         self.samples_objs = None
@@ -112,25 +119,29 @@ class BlackBoxMFDGPFitter:
         init_params_to_prior_and_fix_them: bool = False,
         use_only_highest_fidelity: bool = False,
     ):
-        x_train = jnp.asarray(x_train)
-        y_train = jnp.asarray(y_train).reshape(-1, 1)
-        fidelities = jnp.asarray(fidelities).reshape(-1).astype(jnp.int32)
-        n_real = x_train.shape[0]
+        # All setup array prep happens on HOST (numpy): eager device ops over
+        # the TPU tunnel cost ~20 ms each and used to dominate BO-iteration
+        # setup. Device arrays are created once per fitter, in one transfer.
+        x_np = np.asarray(x_train)
+        y_np = np.asarray(y_train, dtype=x_np.dtype).reshape(-1)
+        f_np = np.asarray(fidelities).reshape(-1).astype(np.int32)
+        n_real = x_np.shape[0]
         if self.pad_data:
             target = bucketing.next_bucket(n_real)
-            x_train, fidelities, row_weights = bucketing.pad_inputs(
-                x_train, fidelities, target
-            )
-            y_train = bucketing.pad_targets(y_train, target)[:, None]
+            x_np, f_np, w_np = bucketing.pad_inputs_np(x_np, f_np, target)
+            y_np = bucketing.pad_rows_np(y_np, target)
         else:
-            row_weights = jnp.ones((n_real,), dtype=x_train.dtype)
+            w_np = np.ones((n_real,), dtype=x_np.dtype)
+        x_train, y_train = x_np, y_np[:, None]
+        fidelities = f_np
         if self.x_train is None:
-            self.x_train = x_train
-            self.fidelities = fidelities
+            self._x_np = x_np
+            self.x_train = jnp.asarray(x_np)
+            self.fidelities = jnp.asarray(f_np)
             self.num_real = n_real
-            self.row_weights = row_weights
+            self.row_weights = jnp.asarray(w_np)
         else:
-            assert jnp.array_equal(self.x_train, x_train), (
+            assert np.array_equal(self._x_np, x_np), (
                 "The inputs for this new mfdgp do not match previous models; "
                 "coupled evaluation only (reference :87-91)."
             )
@@ -255,6 +266,7 @@ class BlackBoxMFDGPFitter:
                 grid_size=self.opt_grid_size * self.x_train.shape[1],
                 pareto_set_size=self.pareto_set_size,
                 feasible_values=-1.0 * np.asarray(self.thresholds_cons),
+                polish=self.polish,
             )
             res = global_optimizer.compute_pareto_solution_from_samples(
                 self.x_train, self._next_key(),
@@ -265,6 +277,12 @@ class BlackBoxMFDGPFitter:
                 self.samples_objs = l_samples_objs
                 self.samples_cons = l_samples_cons
                 return self.pareto_solution
+            if (try_idx + 1) % 5 == 0:
+                print(
+                    f"[pareto] no feasible grid after {try_idx + 1} "
+                    "constraint resamples; retrying"
+                )
+                sys.stdout.flush()
         res = global_optimizer.compute_pareto_solution_from_samples(
             self.x_train, self._next_key(), allow_negative_constraints=True,
             inputs_valid=np.asarray(self.row_weights) > 0,
@@ -350,18 +368,17 @@ class BlackBoxMFDGPFitter:
     # -- misc -------------------------------------------------------------------------
 
     def copy_uncond(self) -> "BlackBoxMFDGPFitter":
-        """Functional snapshot (replaces the reference's deepcopy dance :370-397)."""
+        """Functional snapshot (replaces the reference's deepcopy dance :370-397).
+
+        jax arrays are immutable and every trainer is functional (new param
+        arrays, never in-place, nothing donates buffers), so the snapshot
+        SHARES the current leaves — no device copies: per-leaf jnp.array
+        round trips over the TPU tunnel cost ~2 s per snapshot."""
         import copy as _copy
 
         new = _copy.copy(self)
-        new.models_objs = {
-            k: v._replace(params=jax.tree.map(jnp.array, v.params))
-            for k, v in self.models_objs.items()
-        }
-        new.models_cons = {
-            k: v._replace(params=jax.tree.map(jnp.array, v.params))
-            for k, v in self.models_cons.items()
-        }
+        new.models_objs = dict(self.models_objs)
+        new.models_cons = dict(self.models_cons)
         new.obj_names = list(self.obj_names)
         new.con_names = list(self.con_names)
         new.ys_objs = list(self.ys_objs)

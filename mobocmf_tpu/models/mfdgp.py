@@ -181,7 +181,65 @@ def init_mfdgp(
     set to fixed prior values — layer 0 lengthscale 0.25*d, outputscale 1;
     deep layers ls_x1 = 10*0.25*d, ls_f = 1, ls_x2 = 0.25*d, nu_lin = 1,
     outputscales (1, 1, 0.01) — and excluded from training.
+
+    Runs its (eager, tiny) init math on the LOCAL CPU backend and ships the
+    finished pytrees to the ambient default device in one transfer: over the
+    TPU tunnel every eager op is a ~20 ms round trip, which made per-model
+    init a multi-second affair dominating warm BO iterations.
     """
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ambient = jax.devices()[0]
+    if cpu is None or ambient.platform == "cpu":
+        return _init_mfdgp_impl(
+            key, x_train, y_train, fidelities, num_fidelities,
+            type_lengthscale, num_samples_for_acquisition,
+            use_only_highest_fidelity, jitter, previously_trained, whitened,
+            init_params_to_prior_and_fix_them,
+        )
+    # pull inputs to host once; re-create them on the CPU backend
+    x_np = np.asarray(x_train)
+    y_np = np.asarray(y_train)
+    f_np = np.asarray(fidelities)
+    key_cpu = jax.device_put(key, cpu)
+    prev_cpu = (
+        previously_trained._replace(
+            params=jax.tree.map(lambda a: jax.device_put(a, cpu), previously_trained.params),
+            consts=jax.tree.map(lambda a: jax.device_put(a, cpu), previously_trained.consts),
+        )
+        if previously_trained is not None
+        else None
+    )
+    with jax.default_device(cpu):
+        model = _init_mfdgp_impl(
+            key_cpu, jnp.asarray(x_np), jnp.asarray(y_np), jnp.asarray(f_np),
+            num_fidelities, type_lengthscale, num_samples_for_acquisition,
+            use_only_highest_fidelity, jitter, prev_cpu, whitened,
+            init_params_to_prior_and_fix_them,
+        )
+    return MFDGPModel(
+        params=jax.device_put(model.params, ambient),
+        consts=jax.device_put(model.consts, ambient),
+        config=model.config,
+    )
+
+
+def _init_mfdgp_impl(
+    key: jax.Array,
+    x_train: Array,
+    y_train: Array,
+    fidelities: Array,
+    num_fidelities: int,
+    type_lengthscale: TL = TL.MEDIAN,
+    num_samples_for_acquisition: int = cfg.NUM_SAMPLES_FOR_ACQUISITION,
+    use_only_highest_fidelity: bool = False,
+    jitter: Optional[float] = None,
+    previously_trained: Optional[MFDGPModel] = None,
+    whitened: bool = False,
+    init_params_to_prior_and_fix_them: bool = False,
+) -> MFDGPModel:
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train).reshape(-1, 1).astype(x_train.dtype)
     fid = jnp.asarray(fidelities).reshape(-1)

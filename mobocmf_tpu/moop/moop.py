@@ -180,7 +180,7 @@ class SampledFunction:
         return SampledFunction._VG_CACHE[self.fn](self.tree, x)
 
 
-_CONS_STACK_CACHE: dict = {}
+_SLSQP_FUSED_CACHE: dict = {}
 _DEVICE_POLISH_CACHE: dict = {}
 
 
@@ -241,22 +241,45 @@ def _device_polish_factory(obj_fn, con_fns, input_dim: int, iters: int = 100):
     return jax.jit(polish)
 
 
-def _cons_stack_eval(cons: Sequence, x):
-    """All-constraints scalar eval + jacobian in ONE cached jitted call."""
-    key = tuple(c.fn for c in cons)
-    if key not in _CONS_STACK_CACHE:
-        fns = key
+def _slsqp_fused_eval(obj, cons: Sequence, x, input_dim: int):
+    """(obj value, obj grad, cons values, cons jacobian) for a single point in
+    ONE cached jitted call returning ONE flat buffer. Host SLSQP over the TPU
+    tunnel pays ~20 ms latency per device round trip, so f / f' / g / g' must
+    share a single dispatch and a single device->host transfer."""
+    key = (obj.fn, tuple(c.fn for c in cons))
+    if key not in _SLSQP_FUSED_CACHE:
+        obj_fn, con_fns = key
 
-        def stacked(trees, xx):
-            return jnp.stack([f(t, xx[None, :])[0] for f, t in zip(fns, trees)])
+        def fused(obj_tree, con_trees, xx):
+            def ov(xv):
+                return obj_fn(obj_tree, xv[None, :])[0]
 
-        _CONS_STACK_CACHE[key] = (
-            jax.jit(stacked),
-            jax.jit(jax.jacfwd(stacked, argnums=1)),
-        )
-    ev, jac = _CONS_STACK_CACHE[key]
-    trees = tuple(c.tree for c in cons)
-    return ev(trees, x), lambda xx: jac(trees, xx)
+            def cv(xv):
+                if not con_fns:
+                    return jnp.zeros((0,), dtype=xv.dtype)
+                return jnp.stack(
+                    [f(t, xv[None, :])[0] for f, t in zip(con_fns, con_trees)]
+                )
+
+            v, g = jax.value_and_grad(ov)(xx)
+            cvals = cv(xx)
+            cjac = jax.jacfwd(cv)(xx)
+            return jnp.concatenate(
+                [v[None], g, cvals, cjac.reshape(-1)]
+            )
+
+        _SLSQP_FUSED_CACHE[key] = jax.jit(fused)
+    flat = np.asarray(
+        _SLSQP_FUSED_CACHE[key](obj.tree, tuple(c.tree for c in cons), x),
+        dtype=float,
+    )
+    d, k = input_dim, len(cons)
+    return (
+        float(flat[0]),
+        flat[1 : 1 + d],
+        flat[1 + d : 1 + d + k],
+        flat[1 + d + k :].reshape(k, d),
+    )
 
 
 class MOOP:
@@ -340,29 +363,30 @@ class MOOP:
         best_val = float(masked[best_idx])
         x0 = grid[best_idx].copy()
 
-        vg = self._objs[obj_idx].value_and_grad
+        obj = self._objs[obj_idx]
         cache = {}
 
-        def f(x):
+        def at(x):
             key = x.tobytes()
             if key not in cache:
-                v, g = vg(jnp.asarray(x))
-                cache[key] = (float(v), np.asarray(g, dtype=float))
-            return cache[key][0]
+                cache[key] = _slsqp_fused_eval(
+                    obj, self._cons, jnp.asarray(x), self.input_dim
+                )
+            return cache[key]
+
+        def f(x):
+            return at(x)[0]
 
         def f_prime(x):
-            f(x)
-            return cache[x.tobytes()][1]
+            return at(x)[1]
 
         def make_g(tol):
             def g(x):
-                vals, _ = _cons_stack_eval(self._cons, jnp.asarray(x))
-                return np.asarray(vals, dtype=float) - tol - self.feasible_values
+                return at(x)[2] - tol - self.feasible_values
             return g
 
         def g_prime(x):
-            _, jac = _cons_stack_eval(self._cons, jnp.asarray(x))
-            return np.asarray(jac(jnp.asarray(x)), dtype=float)
+            return at(x)[3]
 
         bounds = [(0.0, 1.0)] * self.input_dim
         for tol, accept_tol in ((0.0, 0.0), (constraint_tol, constraint_tol)):

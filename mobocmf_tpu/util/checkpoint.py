@@ -84,6 +84,7 @@ def restore_fitter(path: str, fitter_cls=None):
     fitter.thresholds_cons = list(meta["thresholds_cons"])
     fitter.models_uncond_trained = bool(meta["models_uncond_trained"])
     fitter.x_train = jax.numpy.asarray(state["x_train"])
+    fitter._x_np = np.asarray(state["x_train"])
     fitter.fidelities = jax.numpy.asarray(state["fidelities"])
     if "row_weights" in state:
         fitter.row_weights = jax.numpy.asarray(state["row_weights"])

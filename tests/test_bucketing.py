@@ -42,8 +42,11 @@ def test_padded_init_predictions_match_unpadded():
     unpadded model: the far-away padded inducing rows are numerically inert."""
     x, y, fid = _problem(0)
     target = bucketing.next_bucket(x.shape[0] + 1)  # force nonzero padding
-    x_p, fid_p, w = bucketing.pad_inputs(x, fid, target)
-    y_p = bucketing.pad_targets(y, target)
+    x_p, fid_p, w = (
+        jnp.asarray(a)
+        for a in bucketing.pad_inputs_np(np.asarray(x), np.asarray(fid), target)
+    )
+    y_p = jnp.asarray(bucketing.pad_rows_np(np.asarray(y), target))
     assert float(jnp.sum(w)) == x.shape[0]
 
     m0 = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2)
