@@ -73,11 +73,10 @@ def bench_jax():
     fid = jnp.asarray(fid_np)
 
     model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2)
-    mask = trainer.mask_all_free(model.params)
 
     args = (
         model.params, model.consts, model.config, x, y, fid,
-        jax.random.key(1), STEPS, 0.001, mask, N_DATA,
+        jax.random.key(1), STEPS, 0.001, "all_free", N_DATA,
     )
     # compile
     out = trainer.train_phase_jit(*args)

@@ -29,10 +29,9 @@ def bench_elbo_steps(m: int, d: int = 6, steps: int = 50):
     y = jnp.asarray(np.sin(3 * np.asarray(x)[:, 0]) + 0.1 * rng.normal(size=m), dtype=jnp.float32)
     fid = jnp.asarray((np.arange(m) % 2))
     model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2)
-    mask = trainer.mask_all_free(model.params)
     args = (
         model.params, model.consts, model.config, x, y, fid,
-        jax.random.key(1), steps, 0.001, mask, m,
+        jax.random.key(1), steps, 0.001, "all_free", m,
     )
     out = trainer.train_phase_jit(*args)
     jax.block_until_ready(out)

@@ -405,6 +405,55 @@ class RecommendationScore:
     num_points_initial: int  # rec points after the model-mean Pareto cull
 
 
+def _recommendation_model_pass(
+    obj_p, obj_c, con_p, con_c, config, fidelity: int, grid,
+    thr_std, obj_scale, feasibility_prob: float,
+):
+    """Model side of the recommendation in ONE program: per-constraint
+    latent feasibility probabilities (noise subtracted, toy:545-546),
+    per-objective unstandardized predictive means, and the feasible Pareto
+    cull. Raw eager predict_for_acquisition calls cost hundreds of ~20 ms
+    tunnel dispatches per iteration."""
+    import jax.numpy as jnp
+    from jax.scipy.stats import norm as jnorm
+
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.models import mfdgp as M
+    from mobocmf_tpu.moop.moop import pareto_front_mask
+
+    num_con = thr_std.shape[0]
+
+    def obj_one(p, c):
+        mu, _ = M.predict_for_acquisition(p, c, config, grid, fidelity)
+        return mu
+
+    mus = jax.vmap(obj_one, in_axes=(0, trainer.CONSTS_AXES))(obj_p, obj_c)
+    means = mus * obj_scale[:, 1:2] + obj_scale[:, 0:1]  # (O, G)
+
+    if num_con > 0:
+        def con_one(p, c, t):
+            mu, var = M.predict_for_acquisition(p, c, config, grid, fidelity)
+            noise = M.likelihood_noise(p, c, fidelity)
+            var_latent = jnp.maximum(var - noise, 1e-12)
+            return 1.0 - jnorm.cdf((t - mu) / jnp.sqrt(var_latent))
+
+        p_feas = jax.vmap(con_one, in_axes=(0, trainer.CONSTS_AXES, 0))(
+            con_p, con_c, thr_std
+        )
+        feasible = jnp.all(p_feas > feasibility_prob, axis=0)
+    else:
+        feasible = jnp.ones(grid.shape[0], dtype=bool)
+
+    mask = pareto_front_mask(means.T, feasible)
+    return means, feasible, mask
+
+
+_recommendation_model_pass_jit = jax.jit(
+    _recommendation_model_pass,
+    static_argnames=("config", "fidelity", "feasibility_prob"),
+)
+
+
 def recommend_and_score(
     fitter,
     blackboxes: Sequence[Blackbox],
@@ -422,10 +471,6 @@ def recommend_and_score(
     toy:545-546), Pareto-cull the model means, drop recommended points that
     are TRULY infeasible (toy:583-589), then score the TRUE functions' HV at
     the surviving set against the optimal HV on the same grid."""
-    from mobocmf_tpu.models import mfdgp as M
-    from mobocmf_tpu.moop.moop import pareto_front_mask
-    from scipy.stats import norm as _norm
-
     d = fitter.x_train.shape[1]
     rng = np.random.default_rng(seed)
     grid = rng.uniform(size=(grid_size, d))
@@ -454,35 +499,34 @@ def recommend_and_score(
     tv, tfeas = true_values(grid)
     hv_opt = hypervolume(tv[tfeas], ref) if tfeas.any() else 0.0
 
-    # model feasibility: P(c(x) >= thr) > feasibility_prob per constraint
-    feasible = np.ones(grid_size, dtype=bool)
-    for bb in cons:
-        model = fitter.get_model(bb.name, is_constraint=True)
-        mu, var = M.predict_for_acquisition(
-            model.params, model.consts, model.config, grid_j, top
+    # model feasibility (P > feasibility_prob per constraint, latent noise
+    # subtracted) + model-mean Pareto cull, all in one jitted device pass
+    from mobocmf_tpu.fit import trainer
+
+    dtype = fitter.x_train.dtype
+    obj_models = [fitter.get_model(bb.name) for bb in objs]
+    obj_p, obj_c, mcfg = trainer.stack_models(obj_models)
+    if cons:
+        con_models = [fitter.get_model(bb.name, is_constraint=True) for bb in cons]
+        con_p, con_c, _ = trainer.stack_models(con_models)
+        thr_std = jnp.asarray(
+            [(bb.threshold - stats[bb.name][0]) / stats[bb.name][1] for bb in cons],
+            dtype=dtype,
         )
-        noise = float(M.likelihood_noise(model.params, model.consts, top))
-        var_latent = np.maximum(np.asarray(var) - noise, 1e-12)
-        mean_s, std_s = stats[bb.name]
-        thr_std = (bb.threshold - mean_s) / std_s
-        p_feas = 1.0 - _norm.cdf((thr_std - np.asarray(mu)) / np.sqrt(var_latent))
-        feasible &= p_feas > feasibility_prob
+    else:
+        con_p, con_c = obj_p, obj_c  # unused placeholders (num_con == 0)
+        thr_std = jnp.zeros((0,), dtype=dtype)
+    obj_scale = jnp.asarray(
+        [[stats[bb.name][0], stats[bb.name][1]] for bb in objs], dtype=dtype
+    )
+    means_j, feasible_j, mask_j = _recommendation_model_pass_jit(
+        obj_p, obj_c, con_p, con_c, mcfg, top, grid_j,
+        thr_std, obj_scale, feasibility_prob,
+    )
+    feasible = np.asarray(feasible_j)
     if not feasible.any():
         return RecommendationScore(np.zeros((0, d)), 0.0, hv_opt, False, 0, 0, 0)
-
-    # model-mean Pareto cull
-    means = []
-    for bb in objs:
-        model = fitter.get_model(bb.name)
-        mu, _ = M.predict_for_acquisition(
-            model.params, model.consts, model.config, grid_j, top
-        )
-        mean_s, std_s = stats[bb.name]
-        means.append(np.asarray(mu) * std_s + mean_s)
-    means = np.stack(means, axis=1)
-    mask = np.asarray(
-        pareto_front_mask(jnp.asarray(means), jnp.asarray(feasible))
-    )
+    mask = np.asarray(mask_j)
     rec_set = grid[mask]
     num_ini = int(rec_set.shape[0])
 

@@ -191,19 +191,18 @@ class BlackBoxMFDGPFitter:
         fid = self.fidelities
         num_data = jnp.asarray(self.num_real, dtype=self.x_train.dtype)
 
-        for phase, (epochs, lr, mask_fn) in enumerate(
+        for phase, (epochs, lr, mask_kind) in enumerate(
             [
-                (self.num_epochs_1, self.lr_1, trainer.mask_fix_variational_hypers),
-                (self.num_epochs_2, self.lr_2, trainer.mask_all_free),
+                (self.num_epochs_1, self.lr_1, "fix_variational_hypers"),
+                (self.num_epochs_2, self.lr_2, "all_free"),
             ]
         ):
             if epochs == 0:
                 continue
             keys = jax.random.split(self._next_key(), nm)
-            mask = trainer.apply_kernel_freeze(jax.vmap(mask_fn)(sp), config)
             sp, logs = trainer.train_phase_stacked_jit(
                 sp, sc, config, self.x_train, ys_arr, fid, keys,
-                epochs, lr, mask, self._effective_batch_size(),
+                epochs, lr, mask_kind, self._effective_batch_size(),
                 self.row_weights, num_data,
             )
             print(
@@ -214,9 +213,10 @@ class BlackBoxMFDGPFitter:
             )
             sys.stdout.flush()
 
-        for i, (n, is_con, _) in enumerate(entries):
+        per_model = trainer.unstack_params(sp, nm)
+        for (n, is_con, _), p in zip(entries, per_model):
             d = self.models_cons if is_con else self.models_objs
-            d[n] = d[n]._replace(params=jax.tree.map(lambda a, i=i: a[i], sp))
+            d[n] = d[n]._replace(params=p)
 
     def train_mfdgps(self):
         """Two-phase schedule (reference :154-176), all blackboxes at once."""
@@ -356,14 +356,13 @@ class BlackBoxMFDGPFitter:
             f"{float(losses[0]):.4f} / {float(losses[-1]):.4f}"
         )
         sys.stdout.flush()
-        for i, n in enumerate(self.obj_names):
-            self.models_objs[n] = self.models_objs[n]._replace(
-                params=jax.tree.map(lambda a, i=i: a[i], op)
-            )
-        for i, n in enumerate(self.con_names):
-            self.models_cons[n] = self.models_cons[n]._replace(
-                params=jax.tree.map(lambda a, i=i: a[i], cp)
-            )
+        for n, p in zip(self.obj_names, trainer.unstack_params(op, len(self.obj_names))):
+            self.models_objs[n] = self.models_objs[n]._replace(params=p)
+        if self.con_names:
+            for n, p in zip(
+                self.con_names, trainer.unstack_params(cp, len(self.con_names))
+            ):
+                self.models_cons[n] = self.models_cons[n]._replace(params=p)
 
     # -- misc -------------------------------------------------------------------------
 

@@ -23,6 +23,7 @@ masked with zero weights.
 from __future__ import annotations
 
 import math
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -91,6 +92,24 @@ def mask_fix_cond(params: M.MFDGPParams) -> M.MFDGPParams:
     return M.MFDGPParams(layers=layers, raw_noises=jnp.zeros_like(params.raw_noises))
 
 
+# The reference's parameter-freezing schedule has exactly three shapes
+# (fix_variational_hypers True/False, fix_variational_hypers_cond; mfdgp.py
+# :198-218), so the trainers take a STATIC `mask_kind` and build the gradient
+# mask at trace time — outside-jit mask pytrees cost one eager device op plus
+# one argument transfer per leaf per phase over the TPU tunnel.
+MASK_BUILDERS = {
+    "fix_variational_hypers": mask_fix_variational_hypers,
+    "all_free": mask_all_free,
+    "fix_cond": mask_fix_cond,
+}
+
+
+def build_mask(params: M.MFDGPParams, mask_kind: str, config: M.MFDGPConfig):
+    """Gradient mask for `mask_kind`, with the freeze-to-prior kernel freeze
+    (config.fix_kernel_params) folded in. Works on single or stacked params."""
+    return apply_kernel_freeze(MASK_BUILDERS[mask_kind](params), config)
+
+
 # ---------------------------------------------------------------------------
 # Single-model phase trainer
 # ---------------------------------------------------------------------------
@@ -117,17 +136,19 @@ def train_phase(
     key: jax.Array,
     num_epochs: int,
     lr: float,
-    mask: M.MFDGPParams,
+    mask_kind: str,
     batch_size: int,
     row_weights: Array = None,
     num_data: Array = None,
 ) -> Tuple[M.MFDGPParams, EpochLog]:
     """One training phase as a single scan; returns final params + logs.
 
-    row_weights (n,) marks real rows 1.0 / padded rows 0.0 (bucketed shapes,
-    fit/bucketing.py); num_data is the REAL row count used for KL scaling.
-    Both default to the unpadded semantics.
+    mask_kind selects the parameter-freezing schedule (MASK_BUILDERS); the
+    mask is built at trace time. row_weights (n,) marks real rows 1.0 /
+    padded rows 0.0 (bucketed shapes, fit/bucketing.py); num_data is the REAL
+    row count used for KL scaling. Both default to the unpadded semantics.
     """
+    mask = build_mask(params, mask_kind, config)
     n = x.shape[0]
     bsz, num_batches = _batch_plan(n, batch_size)
     padded = bsz * num_batches
@@ -181,7 +202,7 @@ def train_phase(
 
 train_phase_jit = jax.jit(
     train_phase,
-    static_argnames=("config", "num_epochs", "lr", "batch_size"),
+    static_argnames=("config", "num_epochs", "lr", "mask_kind", "batch_size"),
 )
 
 
@@ -202,14 +223,11 @@ def train_mfdgp_two_phase(
     p = model.params
     p, log1 = train_phase_jit(
         p, model.consts, model.config, x, y, fidelities, k1,
-        num_epochs_1, lr_1,
-        apply_kernel_freeze(mask_fix_variational_hypers(p), model.config),
-        batch_size,
+        num_epochs_1, lr_1, "fix_variational_hypers", batch_size,
     )
     p, log2 = train_phase_jit(
         p, model.consts, model.config, x, y, fidelities, k2,
-        num_epochs_2, lr_2,
-        apply_kernel_freeze(mask_all_free(p), model.config), batch_size,
+        num_epochs_2, lr_2, "all_free", batch_size,
     )
     return model._replace(params=p), log1, log2
 
@@ -222,25 +240,47 @@ def train_mfdgp_two_phase(
 CONSTS_AXES = M.MFDGPConsts(z_x=None, acq_eps=0, noise_lower=0, noise_upper=0)
 
 
+@jax.jit
+def _stack_jit(params_list, acq_eps_list, nl_list, nu_list):
+    # ONE dispatch for the whole stack (eager per-leaf jnp.stack costs one
+    # ~15 ms tunnel round trip per leaf)
+    return (
+        jax.tree.map(lambda *a: jnp.stack(a), *params_list),
+        jnp.stack(acq_eps_list),
+        jnp.stack(nl_list),
+        jnp.stack(nu_list),
+    )
+
+
 def stack_models(models):
     """Stack per-blackbox params/consts along a leading axis (shared config)."""
     assert all(m.config == models[0].config for m in models), (
         "stacked blackboxes must share the same MFDGPConfig"
     )
-    params = jax.tree.map(lambda *a: jnp.stack(a), *[m.params for m in models])
+    params, acq_eps, nl, nu = _stack_jit(
+        tuple(m.params for m in models),
+        tuple(m.consts.acq_eps for m in models),
+        tuple(m.consts.noise_lower for m in models),
+        tuple(m.consts.noise_upper for m in models),
+    )
     consts = M.MFDGPConsts(
         z_x=models[0].consts.z_x,
-        acq_eps=jnp.stack([m.consts.acq_eps for m in models]),
-        noise_lower=jnp.stack([m.consts.noise_lower for m in models]),
-        noise_upper=jnp.stack([m.consts.noise_upper for m in models]),
+        acq_eps=acq_eps,
+        noise_lower=nl,
+        noise_upper=nu,
     )
     return params, consts, models[0].config
 
 
-def unstack_params(stacked_params, num_models):
-    return [
+@partial(jax.jit, static_argnames=("num_models",))
+def _unstack_jit(stacked_params, num_models: int):
+    return tuple(
         jax.tree.map(lambda a, i=i: a[i], stacked_params) for i in range(num_models)
-    ]
+    )
+
+
+def unstack_params(stacked_params, num_models):
+    return list(_unstack_jit(stacked_params, num_models))
 
 
 def train_phase_stacked(
@@ -253,27 +293,31 @@ def train_phase_stacked(
     keys: jax.Array,  # (num_models, 2)
     num_epochs: int,
     lr: float,
-    stacked_mask,
+    mask_kind: str,
     batch_size: int,
     row_weights: Array = None,
     num_data: Array = None,
 ):
-    """vmap the phase trainer over stacked blackboxes (same x / shapes)."""
+    """vmap the phase trainer over stacked blackboxes (same x / shapes).
+
+    mask_kind is static and shared by the whole group (stacked blackboxes
+    share one MFDGPConfig, so the freezing schedule is identical)."""
     if row_weights is None:
         row_weights = jnp.ones((x.shape[0],), dtype=x.dtype)
     if num_data is None:
         num_data = jnp.sum(row_weights)
-    f = jax.vmap(
-        train_phase,
-        in_axes=(0, CONSTS_AXES, None, None, 0, None, 0, None, None, 0, None, None, None),
-    )
-    return f(
-        stacked_params, stacked_consts, config, x, ys, fidelities, keys,
-        num_epochs, lr, stacked_mask, batch_size, row_weights, num_data,
-    )
+
+    def one(p, c, ys_i, key_i):
+        return train_phase(
+            p, c, config, x, ys_i, fidelities, key_i, num_epochs, lr,
+            mask_kind, batch_size, row_weights, num_data,
+        )
+
+    f = jax.vmap(one, in_axes=(0, CONSTS_AXES, 0, 0))
+    return f(stacked_params, stacked_consts, ys, keys)
 
 
 train_phase_stacked_jit = jax.jit(
     train_phase_stacked,
-    static_argnames=("config", "num_epochs", "lr", "batch_size"),
+    static_argnames=("config", "num_epochs", "lr", "mask_kind", "batch_size"),
 )

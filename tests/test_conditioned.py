@@ -86,7 +86,7 @@ def test_only_hf_mode_trains():
     assert model.consts.z_x[1].shape[0] == int((np.asarray(fid) == 1).sum())
     p, logs = trainer.train_phase_jit(
         model.params, model.consts, model.config, x, y, fid,
-        jax.random.key(1), 20, 0.003, trainer.mask_all_free(model.params), n,
+        jax.random.key(1), 20, 0.003, "all_free", n,
     )
     loss = np.asarray(logs.loss)
     assert np.all(np.isfinite(loss)) and loss[-1] < loss[0]
@@ -218,3 +218,19 @@ def test_recommendation_uses_noiseless_constraint_variance():
     # and the noisy version must differ (the round-1 bug)
     noisy = 1.0 - _norm.cdf((0.0 - np.asarray(mu)) / np.sqrt(np.asarray(var)))
     assert np.max(np.abs(noisy - want)) > 0
+
+    # the loop's actual single-dispatch device pass must agree with the hand
+    # computation: feasible == (p_feas > 0.999) with the NOISELESS variance
+    from mobocmf_tpu.bo.loop import _recommendation_model_pass_jit
+    from mobocmf_tpu.fit import trainer
+
+    obj_p, obj_c, mcfg = trainer.stack_models([model])
+    thr_std = jnp.asarray([0.0], dtype=x.dtype)
+    obj_scale = jnp.asarray([[0.0, 1.0]], dtype=x.dtype)
+    means, feasible, mask = _recommendation_model_pass_jit(
+        obj_p, obj_c, obj_p, obj_c, mcfg, 1, grid, thr_std, obj_scale, 0.999
+    )
+    np.testing.assert_allclose(np.asarray(means)[0], np.asarray(mu), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(feasible), want > 0.999)
+    # cull consistency: mask selects only feasible points
+    assert not np.any(np.asarray(mask) & ~np.asarray(feasible))

@@ -83,9 +83,8 @@ def test_stacked_training_on_bb_mesh():
     sp = jax.tree.map(lambda a: jax.device_put(a, shard_bb), sp)
     ys = jnp.stack([jnp.asarray(rng.normal(size=n)) for _ in range(2)])
     keys = jax.random.split(jax.random.key(3), 2)
-    mask = jax.vmap(trainer.mask_all_free)(sp)
     out, logs = trainer.train_phase_stacked_jit(
-        sp, sc, config, x, ys, fid, keys, 3, 0.003, mask, n
+        sp, sc, config, x, ys, fid, keys, 3, 0.003, "all_free", n
     )
     assert np.all(np.isfinite(np.asarray(logs.loss)))
 
@@ -114,17 +113,15 @@ def test_inducing_dim_tp_matches_replicated():
     sp, sc, config = trainer.stack_models(models)
     ys = jnp.stack([y0, y1])
     keys = jax.random.split(jax.random.key(7), 2)
-    mask = jax.vmap(trainer.mask_all_free)(sp)
-
     new_p, logs = trainer.train_phase_stacked_jit(
-        sp, sc, config, x, ys, fid, keys, 1, 0.001, mask, m
+        sp, sc, config, x, ys, fid, keys, 1, 0.001, "all_free", m
     )
     loss_repl = np.asarray(logs.loss)
 
     sp_sh, sc_sh = shard_inducing(mesh, sp, sc)
     x_sh = jax.device_put(x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp", None)))
     new_p_sh, logs_sh = trainer.train_phase_stacked_jit(
-        sp_sh, sc_sh, config, x_sh, ys, fid, keys, 1, 0.001, mask, m
+        sp_sh, sc_sh, config, x_sh, ys, fid, keys, 1, 0.001, "all_free", m
     )
     loss_sh = np.asarray(logs_sh.loss)
 

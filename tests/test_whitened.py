@@ -42,7 +42,7 @@ def test_whitened_training_improves_elbo():
     model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=True)
     p, logs = trainer.train_phase_jit(
         model.params, model.consts, model.config, x, y, fid,
-        jax.random.key(1), 30, 0.003, trainer.mask_all_free(model.params), x.shape[0],
+        jax.random.key(1), 30, 0.003, "all_free", x.shape[0],
     )
     loss = np.asarray(logs.loss)
     assert np.all(np.isfinite(loss))
