@@ -57,6 +57,11 @@ def main():
                         help="restore per-iteration models instead of retraining")
     parser.add_argument("--no-pad-data", action="store_true",
                         help="exact reference shapes (recompiles as N grows)")
+    parser.add_argument("--polish", choices=("slsqp", "device", "none"),
+                        default="slsqp",
+                        help="Pareto-sampling polish backend: slsqp = host "
+                        "scipy (reference semantics), device = multi-start "
+                        "penalty L-BFGS fully on device")
     args = parser.parse_args()
 
     import jax
@@ -98,6 +103,7 @@ def main():
         store_models_in_disk=args.store_models,
         load_models_from_disk=args.load_models,
         pad_data=not args.no_pad_data,
+        polish=args.polish,
     )
     if args.fast:
         config = BOConfig(
