@@ -25,10 +25,12 @@ is a deliberate deviation from the reference's exact Z = x_train, so padding
 is opt-in (BOConfig.pad_data / BlackBoxMFDGPFitter(pad_data=True)) and the
 f64 parity paths keep exact shapes.
 
-Buckets: multiples of 8 up to 64, then the step doubles with each octave
-(16 for 65..128, 32 for 129..256, ...), so a campaign growing N from 15 to 75
-compiles the training programs ~8 times instead of 60, and the padding
-overhead stays <= ~12% of rows.
+Buckets: multiples of 16 up to 64, then the step doubles with each octave
+(32 for 65..128, 64 for 129..256, ...), so a campaign growing N from 15 to 75
+compiles the training programs ~5 times instead of 60. Padded rows cost real
+step time (the inducing Cholesky is O(bucket^3): measured ~+0.8 s of training
+per +8 padded rows per full-settings iteration) but a bucket-boundary
+recompile costs ~100 s, so coarse buckets win decisively at campaign scale.
 """
 
 from __future__ import annotations
@@ -44,10 +46,10 @@ PAD_FIDELITY = -1
 
 
 def next_bucket(n: int) -> int:
-    """Smallest bucket >= n (multiples of 8, step doubling per octave)."""
+    """Smallest bucket >= n (multiples of 16, step doubling per octave)."""
     if n <= 8:
         return 8
-    step, cap = 8, 64
+    step, cap = 16, 64
     while n > cap:
         step *= 2
         cap *= 2

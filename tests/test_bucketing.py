@@ -19,10 +19,10 @@ def test_next_bucket():
     assert bucketing.next_bucket(1) == 8
     assert bucketing.next_bucket(8) == 8
     assert bucketing.next_bucket(9) == 16
-    assert bucketing.next_bucket(17) == 24
+    assert bucketing.next_bucket(17) == 32
     assert bucketing.next_bucket(64) == 64
-    assert bucketing.next_bucket(65) == 80
-    assert bucketing.next_bucket(130) == 160
+    assert bucketing.next_bucket(65) == 96
+    assert bucketing.next_bucket(130) == 192
     # monotone and idempotent
     for n in range(1, 300):
         b = bucketing.next_bucket(n)
