@@ -35,12 +35,16 @@ def bench_elbo_steps(m: int, d: int = 6, steps: int = 50):
     )
     out = trainer.train_phase_jit(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    out = trainer.train_phase_jit(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # median of 3: a single warm repeat has produced wildly bogus readings
+    # (84k steps/s at m=2048) right after a multi-minute compile
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = trainer.train_phase_jit(*args)
+        jax.block_until_ready(out)
+        dts.append(time.perf_counter() - t0)
     finite = bool(jnp.isfinite(out[1].loss[-1]))
-    return steps / dt, finite
+    return steps / float(np.median(dts)), finite
 
 
 def bench_cholesky(n: int, batch: int = 8, iters: int = 20):
