@@ -62,6 +62,11 @@ def main():
                         help="Pareto-sampling polish backend: slsqp = host "
                         "scipy (reference semantics), device = multi-start "
                         "penalty L-BFGS fully on device")
+    parser.add_argument("--warm-start", action="store_true",
+                        help="warm-start each iteration's models from the "
+                        "previous iteration (the reference ships this "
+                        "commented out, toy:333-357; default off = reference "
+                        "behavior)")
     args = parser.parse_args()
 
     import jax
@@ -104,6 +109,7 @@ def main():
         load_models_from_disk=args.load_models,
         pad_data=not args.no_pad_data,
         polish=args.polish,
+        warm_start=args.warm_start,
     )
     if args.fast:
         config = BOConfig(
