@@ -89,7 +89,7 @@ def main():
     model_c = cond.get_model("obj1")
 
     def moments(m_, f):
-        mu, var = M.predict_for_acquisition(m_.params, m_.consts, m_.config, grid, f)
+        mu, var = M.predict_for_acquisition_jit(m_.params, m_.consts, m_.config, grid, f)
         return np.asarray(mu) * y_std + y_mean, np.sqrt(np.asarray(var)) * y_std
 
     acq0 = jes.decoupled_acq(grid, 0, "obj1", is_constraint=False)

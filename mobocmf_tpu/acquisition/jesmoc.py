@@ -201,20 +201,29 @@ class JESMOC_MFDGP:
         return reg[fidelity][blackbox_name](x)
 
     def _stacked(self, fidelity: int):
-        """Stack all blackboxes registered at `fidelity` (uncond + cond)."""
+        """Stack all blackboxes registered at `fidelity` (uncond + cond).
+        Returns None when no blackbox is registered at this fidelity."""
         if fidelity not in self._stacked_cache:
             items = list(self.objectives[fidelity].values()) + list(
                 self.constraints[fidelity].values()
             )
-            su_p, su_c, config = trainer.stack_models([j.mfdgp_uncond for j in items])
-            sc_p, sc_c, _ = trainer.stack_models([j.mfdgp_cond for j in items])
-            self._stacked_cache[fidelity] = (su_p, su_c, sc_p, sc_c, config)
+            if not items:
+                self._stacked_cache[fidelity] = None
+            else:
+                su_p, su_c, config = trainer.stack_models(
+                    [j.mfdgp_uncond for j in items]
+                )
+                sc_p, sc_c, _ = trainer.stack_models([j.mfdgp_cond for j in items])
+                self._stacked_cache[fidelity] = (su_p, su_c, sc_p, sc_c, config)
         return self._stacked_cache[fidelity]
 
     def coupled_acq(self, x: Array, fidelity: int) -> Array:
         if x.ndim > 2:
             x = x[:, 0, :]
-        su_p, su_c, sc_p, sc_c, config = self._stacked(fidelity)
+        stacked = self._stacked(fidelity)
+        if stacked is None:  # empty sum over registered blackboxes
+            return jnp.zeros((x.shape[0],), dtype=x.dtype)
+        su_p, su_c, sc_p, sc_c, config = stacked
         return coupled_acq_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x)
 
     # -- candidate selection (reference :137-184) -------------------------------
@@ -226,7 +235,10 @@ class JESMOC_MFDGP:
         return some.mfdgp_uncond.consts.z_x[0].shape[1]
 
     def _optimize_fidelity(self, fidelity: int):
-        su_p, su_c, sc_p, sc_c, config = self._stacked(fidelity)
+        stacked = self._stacked(fidelity)
+        if stacked is None:
+            return None, 0.0
+        su_p, su_c, sc_p, sc_c, config = stacked
         return optimize_coupled_jes(
             su_p, su_c, sc_p, sc_c, config, fidelity, self._next_key(),
             self._input_dim(),
@@ -247,9 +259,12 @@ class JESMOC_MFDGP:
         best_weighted, best_x, best_fid = None, None, 0
         for fidelity in range(self.num_fidelities):
             x_f, value = self._optimize_fidelity(fidelity)
+            if x_f is None:  # no blackboxes registered at this fidelity
+                continue
             weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
-            if fidelity == 0 or weighted > best_weighted:
+            if best_weighted is None or weighted > best_weighted:
                 best_weighted, best_x, best_fid = weighted, x_f, fidelity
+        assert best_x is not None, "no blackboxes registered at any fidelity"
         if verbose:
             print(
                 f"Iter: {iteration} Acquisition: "

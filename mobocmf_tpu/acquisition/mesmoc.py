@@ -202,13 +202,16 @@ class MESMOC_MFGP:
         best_weighted, best_x, best_fid = None, None, 0
         for fidelity in range(self.num_fidelities):
             obj_models, best_values, con_models, thresholds, top = self._gather(fidelity)
+            if not obj_models:  # no objectives registered at this fidelity
+                continue
             x_f, value = optimize_coupled_mes(
                 obj_models, best_values, con_models, thresholds,
                 fidelity, top, self._next_key(), self.input_dim,
             )
             weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
-            if fidelity == 0 or weighted > best_weighted:
+            if best_weighted is None or weighted > best_weighted:
                 best_weighted, best_x, best_fid = weighted, x_f, fidelity
+        assert best_x is not None, "no objectives registered at any fidelity"
         if verbose:
             print(
                 f"Iter: {iteration} Acquisition: "

@@ -148,6 +148,13 @@ def run_bo_loop(
         obs_file = os.path.join(log_dir, "observed_hypervolumes.txt")
         if os.path.exists(obs_file) and os.path.getsize(obs_file) > 0:
             state.hypervolumes = list(np.atleast_1d(np.loadtxt(obs_file)))
+        if len(state.hypervolumes) < start_iter:
+            # resuming a log dir with missing/short observed-HV history (e.g.
+            # written by an older layout): pad with NaN so the trajectory
+            # stays aligned with iteration indices
+            state.hypervolumes = [float("nan")] * (
+                start_iter - len(state.hypervolumes)
+            ) + state.hypervolumes
 
     prev_fitter = None
     for it in range(start_iter, config.num_bo_iterations):
@@ -156,48 +163,67 @@ def run_bo_loop(
         t_iter = _time.time()
         n = state.x.shape[0]
         batch_size = config.batch_size or n
-        fitter = BlackBoxMFDGPFitter(
-            config.num_fidelities, batch_size,
-            lr_1=config.lr_1, lr_2=config.lr_2,
-            num_epochs_1=config.num_epochs_1, num_epochs_2=config.num_epochs_2,
-            pareto_set_size=config.pareto_set_size, opt_grid_size=config.opt_grid_size,
-            type_lengthscale=config.type_lengthscale, seed=config.seed + it,
-            pad_data=config.pad_data, polish=config.polish,
-        )
         stats = {}
+        std_ys = {}
         for bb in blackboxes:
             y_std, mean, std = _standardize(state.ys[bb.name])
             stats[bb.name] = (mean, std)
-            thr = (bb.threshold - mean) / std if bb.is_constraint else 0.0
-            prev_model = (
-                prev_fitter.get_model(bb.name, is_constraint=bb.is_constraint)
-                if (config.warm_start and prev_fitter is not None)
-                else None
-            )
-            fitter.initialize_mfdgp(
-                jnp.asarray(state.x), jnp.asarray(y_std[:, None]),
-                jnp.asarray(state.fidelities), bb.name,
-                threshold_constraint=thr, is_constraint=bb.is_constraint,
-                previously_trained_model=prev_model,
-            )
+            std_ys[bb.name] = y_std
 
         models_dir = (
             os.path.join(log_dir, "models", f"iter{it}") if log_dir is not None else None
         )
+        phase_t: Dict[str, float] = {}
+        # try the checkpoint restore FIRST (both fitters or neither), before
+        # paying for fitter construction + per-blackbox init it would discard
         loaded = False
-        # setup = fitter construction + per-blackbox model init
-        phase_t: Dict[str, float] = {"setup": _time.time() - t_iter}
         if config.load_models_from_disk and models_dir is not None:
             try:
                 from mobocmf_tpu.util.checkpoint import restore_fitter
 
-                fitter = restore_fitter(os.path.join(models_dir, "uncond"))
-                cond = restore_fitter(os.path.join(models_dir, "cond"))
-                loaded = True
+                f_u = restore_fitter(os.path.join(models_dir, "uncond"))
+                f_c = restore_fitter(os.path.join(models_dir, "cond"))
+                # restore_fitter rebuilds with constructor defaults; apply the
+                # campaign's settings so any later (re)training/sampling on
+                # these objects uses the configured schedule
+                for f in (f_u, f_c):
+                    f.lr_1, f.lr_2 = config.lr_1, config.lr_2
+                    f.num_epochs_1 = config.num_epochs_1
+                    f.num_epochs_2 = config.num_epochs_2
+                    f.pareto_set_size = config.pareto_set_size
+                    f.opt_grid_size = config.opt_grid_size
+                    f.polish = config.polish
+                fitter, cond, loaded = f_u, f_c, True
                 print(f"[BO iter {it}] restored models from {models_dir}")
-            except Exception:
+            except Exception as e:
+                print(f"[BO iter {it}] model restore failed ({e!r}); retraining")
                 loaded = False
         if not loaded:
+            fitter = BlackBoxMFDGPFitter(
+                config.num_fidelities, batch_size,
+                lr_1=config.lr_1, lr_2=config.lr_2,
+                num_epochs_1=config.num_epochs_1, num_epochs_2=config.num_epochs_2,
+                pareto_set_size=config.pareto_set_size,
+                opt_grid_size=config.opt_grid_size,
+                type_lengthscale=config.type_lengthscale, seed=config.seed + it,
+                pad_data=config.pad_data, polish=config.polish,
+            )
+            for bb in blackboxes:
+                mean, std = stats[bb.name]
+                thr = (bb.threshold - mean) / std if bb.is_constraint else 0.0
+                prev_model = (
+                    prev_fitter.get_model(bb.name, is_constraint=bb.is_constraint)
+                    if (config.warm_start and prev_fitter is not None)
+                    else None
+                )
+                fitter.initialize_mfdgp(
+                    jnp.asarray(state.x), jnp.asarray(std_ys[bb.name][:, None]),
+                    jnp.asarray(state.fidelities), bb.name,
+                    threshold_constraint=thr, is_constraint=bb.is_constraint,
+                    previously_trained_model=prev_model,
+                )
+            # setup = fitter construction + per-blackbox model init
+            phase_t["setup"] = _time.time() - t_iter
             t0 = _time.time()
             fitter.train_mfdgps()
             phase_t["train"] = _time.time() - t0
@@ -356,7 +382,7 @@ def plot_iteration_surfaces(
         model = fitter.get_model(bb.name, is_constraint=bb.is_constraint)
         mean_s, std_s = stats[bb.name]
         for f in range(nf):
-            mu, var = M.predict_for_acquisition(
+            mu, var = M.predict_for_acquisition_jit(
                 model.params, model.consts, model.config, grid, f
             )
             mu = np.asarray(mu) * std_s + mean_s
@@ -514,7 +540,15 @@ def recommend_and_score(
             dtype=dtype,
         )
     else:
-        con_p, con_c = obj_p, obj_c  # unused placeholders (num_con == 0)
+        # explicit EMPTY stacked pytrees (leading axis 0) — same convention as
+        # fit/fitter.py's zero-constraint conditioned training; never aliased
+        # objective params
+        con_p = jax.tree.map(lambda a: a[:0], obj_p)
+        con_c = obj_c._replace(
+            acq_eps=obj_c.acq_eps[:0],
+            noise_lower=obj_c.noise_lower[:0],
+            noise_upper=obj_c.noise_upper[:0],
+        )
         thr_std = jnp.zeros((0,), dtype=dtype)
     obj_scale = jnp.asarray(
         [[stats[bb.name][0], stats[bb.name][1]] for bb in objs], dtype=dtype

@@ -8,10 +8,12 @@ campaign.
 
 Fix: round the row count N up to a geometric bucket and pad with
 
-- inputs placed OUTSIDE the unit box (x_pad[i] = 2 + i on every coordinate:
-  distinct points, far from the data and from each other, so the padded Gram
-  blocks are near-diagonal and Cholesky stays well conditioned — same trick as
-  linalg/fused_svgp.py uses for its tile padding);
+- inputs placed FAR outside the unit box (x_pad[i] = 100 + 10*i on every
+  coordinate: the deep-MF kernel's smooth component uses a 10x-median
+  lengthscale, so pads must be very far out for k(x, pad) to vanish, and
+  10-apart from each other so the padded Gram blocks are near-diagonal and
+  Cholesky stays well conditioned — same trick as linalg/fused_svgp.py uses
+  for its tile padding);
 - fidelity -1 (matches no layer: padded rows contribute exactly zero to every
   per-fidelity data term and never enter per-fidelity statistics or the
   nearest-neighbor inducing init, models/mfdgp.py:137-156);
@@ -21,9 +23,10 @@ Because the MFDGP uses ALL training inputs as inducing points (reference
 mobocmf/models/mfdgp.py:290-317), padding rows necessarily pads the inducing
 set too. That is mathematically sound — an SVGP posterior is valid for any
 inducing set, the extra far-away points just add (unused) capacity — but it
-is a deliberate deviation from the reference's exact Z = x_train, so padding
-is opt-in (BOConfig.pad_data / BlackBoxMFDGPFitter(pad_data=True)) and the
-f64 parity paths keep exact shapes.
+is a deliberate deviation from the reference's exact Z = x_train, so it is
+switchable: ON by default in the TPU-first BO loop (BOConfig.pad_data=True),
+OFF by default at the fitter level (BlackBoxMFDGPFitter(pad_data=False));
+the f64 parity paths keep exact shapes.
 
 Buckets: multiples of 16 up to 64, then the step doubles with each octave
 (32 for 65..128, 64 for 129..256, ...), so a campaign growing N from 15 to 75

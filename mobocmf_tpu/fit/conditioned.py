@@ -129,7 +129,11 @@ def conditioned_loss(
             params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
             weights=batch_w,
         )
-        batch_count = jnp.sum(batch_w)
+        # guard: with pad_data and batch_size < N a minibatch can sample only
+        # padded rows (all weights 0); elbo is exactly 0 there, so clamping
+        # the divisor yields the correct zero contribution instead of 0/0=NaN
+        # (which would poison Adam state permanently)
+        batch_count = jnp.maximum(jnp.sum(batch_w), 1.0)
         l = -elbo / batch_count * n_real
         # pareto-front data term at top fidelity (no KL), masked rows weighted 0
         dt = elbo_data_term(
@@ -151,7 +155,8 @@ def conditioned_loss(
             params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
             weights=batch_w,
         )
-        batch_count = jnp.sum(batch_w)
+        # same all-padded-minibatch guard as obj_term
+        batch_count = jnp.maximum(jnp.sum(batch_w), 1.0)
         l = -elbo / batch_count * n_real
         mu, var = _model_top_moments(params_i, consts_i, config, data.pareto_set, eps_p)
         theta = loss_theta_factors(mu, var, thr_i, eps_const, data.front_mask)

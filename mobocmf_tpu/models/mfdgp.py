@@ -531,6 +531,14 @@ def predict_for_acquisition(
     return mus, second - mus**2
 
 
+# Module-level jitted predictive for host-level callers (plotting, ad-hoc
+# evaluation); the hot paths (acquisition, recommendation) wrap it in their
+# own larger programs.
+predict_for_acquisition_jit = jax.jit(
+    predict_for_acquisition, static_argnames=("config", "fidelity")
+)
+
+
 def sample_eps(key: jax.Array, config: MFDGPConfig, n: int, dtype) -> Array:
     """Fresh train-mode propagation normals, shape (F-1, n)."""
     f = max(config.num_fidelities - 1, 0)

@@ -234,3 +234,49 @@ def test_recommendation_uses_noiseless_constraint_variance():
     np.testing.assert_array_equal(np.asarray(feasible), want > 0.999)
     # cull consistency: mask selects only feasible points
     assert not np.any(np.asarray(mask) & ~np.asarray(feasible))
+
+
+def test_conditioned_loss_finite_on_all_padded_minibatch():
+    """pad_data + batch_size < N can sample a minibatch of only padded rows
+    (all batch weights 0); the data-term rescale must yield exactly 0, not
+    0/0 = NaN (which would poison Adam state for the rest of the phase)."""
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.fit.conditioned import ConditionedData, conditioned_loss
+    from mobocmf_tpu.models import mfdgp as M
+
+    rng = np.random.default_rng(3)
+    n, d, p = 8, 2, 3
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    ys = rng.normal(size=(2, n))
+    models = [
+        M.init_mfdgp(jax.random.key(i), x, jnp.asarray(y[:, None]), fid, 2)
+        for i, y in enumerate(ys)
+    ]
+    op, oc, config = trainer.stack_models([models[0]])
+    cp, cc, _ = trainer.stack_models([models[1]])
+    data = ConditionedData(
+        x=x,
+        ys_obj=jnp.asarray(ys[:1]),
+        ys_con=jnp.asarray(ys[1:]),
+        fidelities=fid,
+        pareto_set=jnp.asarray(rng.uniform(size=(p, d))),
+        pareto_front=jnp.asarray(rng.normal(size=(p, 1))),
+        front_mask=jnp.ones(p, dtype=bool),
+        thresholds=jnp.zeros(1),
+        row_weights=jnp.concatenate([jnp.ones(n - 3), jnp.zeros(3)]),
+    )
+    batch_idx = jnp.asarray([n - 3, n - 2, n - 1])  # ONLY padded rows
+    batch_w = data.row_weights[batch_idx]
+    assert float(jnp.sum(batch_w)) == 0.0
+
+    def loss_fn(ps):
+        return conditioned_loss(
+            ps[0], ps[1], oc, cc, config, data, jax.random.key(9), 1e-8,
+            batch_idx, batch_w,
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)((op, cp))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
