@@ -86,3 +86,39 @@ def test_no_acquisition_recompiles_across_iterations():
     assert sizes_after == sizes_before, (
         f"acquisition programs recompiled: {sizes_before} -> {sizes_after}"
     )
+
+
+def test_no_stacking_or_recommendation_recompiles_across_iterations():
+    """The round-2 single-dispatch programs (jitted stack/unstack, the
+    recommendation model pass) must also hit their caches on iteration 2."""
+    from mobocmf_tpu.bo.loop import _recommendation_model_pass_jit
+    from mobocmf_tpu.fit import trainer
+
+    def one(seed):
+        fitter = _make_fitter(seed)
+        obj_p, obj_c, mcfg = trainer.stack_models(
+            [fitter.models_objs[n] for n in fitter.obj_names]
+        )
+        con_models = [fitter.models_cons[n] for n in fitter.con_names]
+        con_p, con_c, _ = trainer.stack_models(con_models)
+        grid = jnp.asarray(np.random.default_rng(seed).uniform(size=(16, 2)))
+        thr = jnp.zeros((len(con_models),), dtype=grid.dtype)
+        scale = jnp.asarray([[0.0, 1.0]] * len(fitter.obj_names), dtype=grid.dtype)
+        _recommendation_model_pass_jit(
+            obj_p, obj_c, con_p, con_c, mcfg, 1, grid, thr, scale, 0.999
+        )
+
+    one(0)
+    before = {
+        "stack": trainer._stack_jit._cache_size(),
+        "unstack": trainer._unstack_jit._cache_size(),
+        "recommend": _recommendation_model_pass_jit._cache_size(),
+    }
+    assert all(v > 0 for v in before.values())
+    one(1)
+    after = {
+        "stack": trainer._stack_jit._cache_size(),
+        "unstack": trainer._unstack_jit._cache_size(),
+        "recommend": _recommendation_model_pass_jit._cache_size(),
+    }
+    assert after == before, f"round-2 programs recompiled: {before} -> {after}"
