@@ -229,10 +229,13 @@ class JESMOC_MFDGP:
     # -- candidate selection (reference :137-184) -------------------------------
 
     def _input_dim(self) -> int:
-        some = next(iter(self.objectives[0].values()), None) or next(
-            iter(self.constraints[0].values())
-        )
-        return some.mfdgp_uncond.consts.z_x[0].shape[1]
+        for f in range(self.num_fidelities):
+            some = next(iter(self.objectives[f].values()), None) or next(
+                iter(self.constraints[f].values()), None
+            )
+            if some is not None:
+                return some.mfdgp_uncond.consts.z_x[0].shape[1]
+        raise ValueError("no blackboxes registered at any fidelity")
 
     def _optimize_fidelity(self, fidelity: int):
         stacked = self._stacked(fidelity)

@@ -122,3 +122,21 @@ def test_no_stacking_or_recommendation_recompiles_across_iterations():
         "recommend": _recommendation_model_pass_jit._cache_size(),
     }
     assert after == before, f"round-2 programs recompiled: {before} -> {after}"
+
+
+def test_fidelity_with_no_blackboxes_yields_zero_surface():
+    """A fidelity with no registered blackboxes must give a zero coupled
+    acquisition and be skipped in fidelity selection (not crash in
+    stack_models)."""
+    fitter = _make_fitter(2)
+    cond = fitter.copy_uncond()
+    cond.sample_and_store_pareto_solution()
+    cond.train_conditioned_mfdgps()
+    jes = jesmoc.JESMOC_MFDGP(model=fitter, num_fidelities=2, model_cond=cond)
+    # register ONLY at fidelity 1
+    for name, is_con in [("obj1", False), ("obj2", False), ("con1", True)]:
+        jes.add_blackbox(1, name, cost_evaluation=10.0, is_constraint=is_con)
+    grid = jnp.asarray(np.random.default_rng(0).uniform(size=(5, 2)))
+    np.testing.assert_array_equal(np.asarray(jes.coupled_acq(grid, 0)), 0.0)
+    x_next, fid_next = jes.get_nextpoint_coupled()
+    assert fid_next == 1 and x_next.shape == (2,)
