@@ -34,6 +34,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
 from mobocmf_tpu.fit import trainer
@@ -110,6 +111,46 @@ def optimize_coupled_jes(
 
     def acq(xx):
         return _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, xx)
+
+    return optimize_acqf_box(
+        acq, input_dim, key,
+        num_restarts=num_restarts, raw_samples=raw_samples, maxiter=maxiter,
+        dtype=dtype,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "config", "fidelity", "input_dim", "rho",
+        "num_restarts", "raw_samples", "maxiter",
+    ),
+)
+def optimize_coupled_jes_penalized(
+    su_p,
+    su_c,
+    sc_p,
+    sc_c,
+    config: M.MFDGPConfig,
+    fidelity: int,
+    chosen,  # (k, d) already-chosen batch points, PAD-padded
+    key: jax.Array,
+    input_dim: int,
+    rho: float,
+    num_restarts: int = 5,
+    raw_samples: int = 200,
+    maxiter: int = 200,
+):
+    """One greedy batch pick: coupled JES with a local-penalization repulsion
+    factor around `chosen` (acquisition/batch.py's construction, but module
+    level with params as runtime args so BO iterations 2+ hit the jit cache)."""
+    dtype = su_c.z_x[0].dtype
+
+    def acq(xx):
+        base = _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, xx)
+        d2 = jnp.sum((xx[:, None, :] - chosen[None, :, :]) ** 2, axis=-1)
+        pen = 1.0 - jnp.exp(-d2 / (2.0 * rho**2))
+        return base * jnp.prod(pen, axis=1)
 
     return optimize_acqf_box(
         acq, input_dim, key,
@@ -280,3 +321,31 @@ class JESMOC_MFDGP:
         if self.eval_highest_fidelity:
             return self._get_nextpoint_coupled_highest_fidelity(iteration, verbose)
         return self._get_nextpoint_coupled(iteration, verbose)
+
+    def get_batch_coupled(self, fidelity: int, q: int, x0=None, rho=None):
+        """Greedy local-penalization q-batch at `fidelity` (BASELINE config
+        #5; new capability — the reference is q=1 only). `x0` (k0, d) seeds
+        the already-chosen set so the q=1 maximizer can be the batch's first
+        point. Returns (q, d) candidates."""
+        from mobocmf_tpu.acquisition.batch import PAD_VALUE
+
+        stacked = self._stacked(fidelity)
+        assert stacked is not None, f"no blackboxes registered at fidelity {fidelity}"
+        su_p, su_c, sc_p, sc_c, config = stacked
+        d = self._input_dim()
+        dtype = su_c.z_x[0].dtype
+        if rho is None:
+            rho = 0.05 * (d**0.5)
+        k0 = 0 if x0 is None else int(np.atleast_2d(np.asarray(x0)).shape[0])
+        chosen = jnp.full((k0 + q, d), PAD_VALUE, dtype=dtype)
+        if k0:
+            chosen = chosen.at[:k0].set(
+                jnp.asarray(np.atleast_2d(np.asarray(x0)), dtype=dtype)
+            )
+        for k in range(q):
+            x_k, _ = optimize_coupled_jes_penalized(
+                su_p, su_c, sc_p, sc_c, config, fidelity, chosen,
+                self._next_key(), d, float(rho),
+            )
+            chosen = chosen.at[k0 + k].set(x_k)
+        return chosen[k0:]

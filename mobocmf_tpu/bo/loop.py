@@ -76,6 +76,12 @@ class BOConfig:
     # path) | "none". Same accept rule either way: a polished point joins the
     # grid only if it improves the best feasible value and stays feasible.
     polish: str = "slsqp"
+    # candidates evaluated per BO iteration (new capability, BASELINE config
+    # #5; the reference only supports q=1, JESMOC_MFDGP.py:159). For q > 1
+    # the fidelity is selected with the standard cost-normalized q=1
+    # optimization, then the batch is filled by sequential greedy
+    # local-penalization maximization (acquisition/batch.py) at that fidelity.
+    q: int = 1
     # per-iteration kernel-hyperparameter dumps to <log_dir>/params/*.txt
     # (reference toy:230-257 via print_lengthscales_and_outputscale)
     dump_params: bool = False
@@ -128,8 +134,12 @@ def run_bo_loop(
             fid_extra = np.loadtxt(fid_file).reshape(-1).astype(int)
             x = np.vstack([x, x_extra])
             fid = np.concatenate([fid, fid_extra])
-            start_iter = x_extra.shape[0]
-            print(f"[resume] replayed {start_iter} evaluated points")
+            # q points are appended per iteration
+            start_iter = x_extra.shape[0] // config.q
+            print(
+                f"[resume] replayed {x_extra.shape[0]} evaluated points "
+                f"({start_iter} iterations)"
+            )
 
     def eval_all(x_pts: np.ndarray, f: np.ndarray) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
@@ -266,12 +276,19 @@ def run_bo_loop(
                 )
         t0 = _time.time()
         x_next, fid_next = jes.get_nextpoint_coupled(iteration=it, verbose=True)
-        phase_t["acq"] = _time.time() - t0
         x_next = np.asarray(x_next, dtype=float).reshape(1, d)
+        if config.q > 1:
+            # fill the batch at the selected fidelity by sequential greedy
+            # local-penalization maximization; the q=1 maximizer above seeds
+            # the batch as its first point
+            xs_batch = jes.get_batch_coupled(fid_next, config.q - 1, x0=x_next)
+            x_next = np.vstack([x_next, np.asarray(xs_batch, dtype=float)])
+        phase_t["acq"] = _time.time() - t0
+        fid_batch = np.full(x_next.shape[0], fid_next, dtype=int)
 
-        y_next = eval_all(x_next, np.asarray([fid_next]))
+        y_next = eval_all(x_next, fid_batch)
         state.x = np.vstack([state.x, x_next])
-        state.fidelities = np.concatenate([state.fidelities, [fid_next]])
+        state.fidelities = np.concatenate([state.fidelities, fid_batch])
         for bb in blackboxes:
             state.ys[bb.name] = np.concatenate([state.ys[bb.name], y_next[bb.name]])
 
@@ -327,7 +344,10 @@ def run_bo_loop(
             with open(os.path.join(log_dir, "points_evaluated.txt"), "a") as fh:
                 np.savetxt(fh, x_next)
             with open(os.path.join(log_dir, "fidelities_evaluated.txt"), "a") as fh:
-                fh.write(f"{float(fid_next)}\n")
+                # one line per evaluated point (q lines when q > 1) so resume
+                # replay stays row-aligned with points_evaluated.txt
+                for fv in fid_batch:
+                    fh.write(f"{float(fv)}\n")
             with open(os.path.join(log_dir, "observed_hypervolumes.txt"), "a") as fh:
                 fh.write(f"{hv}\n")
             if rec is not None:

@@ -168,3 +168,49 @@ def test_bo_loop_one_iteration(tmp_path):
     assert n_ini >= n_fini >= 0 and n_inf == n_ini - n_fini
     assert np.isfinite(hv_opt) and hv_opt > 0
     assert float(np.loadtxt(tmp_path / "hypervolume_solution.txt")) == hv_opt
+
+
+def test_bo_loop_q_batch(tmp_path):
+    """q>1: each iteration evaluates q distinct points at one fidelity
+    (greedy local-penalization batch, BASELINE config #5), and resume
+    counts iterations as points//q."""
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    def make(shift):
+        return [
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2 + 0.3),
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2),
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make(0.25)),
+        Blackbox("obj2", make(0.75)),
+    ]
+    rng = np.random.default_rng(3)
+    x_init = rng.uniform(size=(10, 2))
+    fid_init = np.concatenate([np.zeros(7), np.ones(3)]).astype(int)
+    config = BOConfig(
+        num_bo_iterations=1, num_epochs_1=4, num_epochs_2=6,
+        opt_grid_size=20, pareto_set_size=5, seed=2, q=3,
+        log_dir=str(tmp_path),
+    )
+    state = run_bo_loop(blackboxes, x_init, fid_init, config)
+    assert state.x.shape[0] == 13  # 10 + q
+    new_pts = state.x[-3:]
+    # all three batch points at the same fidelity
+    assert len(set(state.fidelities[-3:])) == 1
+    # batch points are distinct (repulsion term spreads them)
+    d01 = np.linalg.norm(new_pts[0] - new_pts[1])
+    d02 = np.linalg.norm(new_pts[0] - new_pts[2])
+    assert d01 > 1e-3 and d02 > 1e-3
+
+    # resume: 3 evaluated points = 1 iteration at q=3
+    config2 = BOConfig(
+        num_bo_iterations=2, num_epochs_1=4, num_epochs_2=6,
+        opt_grid_size=20, pareto_set_size=5, seed=2, q=3,
+        log_dir=str(tmp_path),
+    )
+    state2 = run_bo_loop(blackboxes, x_init, fid_init, config2)
+    assert state2.x.shape[0] == 16  # 10 + 2 iterations x q
