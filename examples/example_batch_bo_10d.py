@@ -1,0 +1,86 @@
+"""10-D q=16 batch JESMOCMF campaign (BASELINE scale config #5).
+
+New capability beyond the reference (which is q=1 only,
+JESMOC_MFDGP.py:159): each BO iteration selects a fidelity with the
+cost-normalized coupled-JES maximizer, then fills a q-point batch by greedy
+local-penalization maximization — all candidate optimization on device.
+
+Problem: 2 objectives + 1 constraint sampled from the MFDGP prior with
+feasibility calibration (test_functions/prior_problem.py), d=10, 2
+fidelities with costs 1:10.
+
+Run: python examples/example_batch_bo_10d.py [--iters 6] [--q 16] [--fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SEED = 11
+D = 10
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=6)
+    parser.add_argument("--q", type=int, default=16)
+    parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--log-dir", default="batch10d_logs")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mobocmf_tpu.util.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+    from mobocmf_tpu.sampling import rff
+    from mobocmf_tpu.test_functions.prior_problem import sample_problem
+    from mobocmf_tpu.util.util import reset_random_state
+
+    reset_random_state(SEED)
+    objs, cons = sample_problem(jax.random.key(SEED), d=D, num_constraints=1)
+
+    def make_fns(sample):
+        return [
+            lambda xs, s=sample, l=level: np.asarray(
+                rff.eval_sample(s, jnp.asarray(np.atleast_2d(xs)), layer=l)
+            )
+            for level in range(2)
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make_fns(objs[0])),
+        Blackbox("obj2", make_fns(objs[1])),
+        Blackbox("con1", make_fns(cons[0]), is_constraint=True, threshold=0.0),
+    ]
+
+    n_low, n_high = 30, 10
+    x_init = np.random.uniform(size=(n_low + n_high, D))
+    fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
+
+    common = dict(
+        num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
+        q=args.q, pad_data=True,
+    )
+    if args.fast:
+        config = BOConfig(
+            num_epochs_1=10, num_epochs_2=20, opt_grid_size=50,
+            pareto_set_size=10, **common,
+        )
+    else:
+        config = BOConfig(**common)
+
+    state = run_bo_loop(blackboxes, x_init, fid_init, config)
+    print(f"final: {state.x.shape[0]} points, observed HV trajectory "
+          f"{[round(h, 4) for h in state.hypervolumes]}")
+
+
+if __name__ == "__main__":
+    main()

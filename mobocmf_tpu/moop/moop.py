@@ -102,37 +102,52 @@ def summarize_pareto(
     big = jnp.asarray(jnp.finfo(dtype).max, dtype=dtype)
     front_masked = jnp.where(mask[:, None], pareto_front, big)
 
-    d2 = (
-        jnp.sum(pareto_front**2, 1, keepdims=True)
-        - 2.0 * pareto_front @ pareto_front.T
-        + jnp.sum(pareto_front**2, 1, keepdims=True).T
-    )
-    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-
+    # Distances are computed candidate-to-CHOSEN only: (n, size) memory, not
+    # the (n, n) matrix a 1000*d^2-point grid at d=10 turns into 40 GB.
     chosen = jnp.zeros((size,), dtype=jnp.int32)
+    chosen_front = jnp.zeros((size, k), dtype=dtype)
     chosen_mask = jnp.zeros((n,), dtype=bool)
 
     def seed_body(i, carry):
-        chosen, chosen_mask = carry
+        chosen, chosen_front, chosen_mask = carry
         j = jnp.argmin(front_masked[:, i]).astype(jnp.int32)
         chosen = chosen.at[i].set(j)
+        chosen_front = chosen_front.at[i].set(pareto_front[j])
         chosen_mask = chosen_mask.at[j].set(True)
-        return chosen, chosen_mask
+        return chosen, chosen_front, chosen_mask
 
-    chosen, chosen_mask = jax.lax.fori_loop(0, min(k, size), seed_body, (chosen, chosen_mask))
+    carry = jax.lax.fori_loop(
+        0, min(k, size), seed_body, (chosen, chosen_front, chosen_mask)
+    )
+
+    sq_front = jnp.sum(pareto_front**2, 1, keepdims=True)  # (n, 1)
 
     def greedy_body(i, carry):
-        chosen, chosen_mask = carry
-        # min distance from each candidate to the chosen set
-        min_d = jnp.min(jnp.where(chosen_mask[:, None], dist, big), axis=0)
+        chosen, chosen_front, chosen_mask = carry
+        # squared distance candidate -> each chosen slot (expansion trick on
+        # the MXU; HIGHEST precision so f32 cancellation cannot reorder the
+        # greedy selection)
+        d2 = (
+            sq_front
+            - 2.0
+            * jnp.matmul(
+                pareto_front, chosen_front.T, precision=jax.lax.Precision.HIGHEST
+            )
+            + jnp.sum(chosen_front**2, 1)[None, :]
+        )  # (n, size)
+        slot_valid = jnp.arange(size)[None, :] < i
+        min_d = jnp.min(jnp.where(slot_valid, jnp.maximum(d2, 0.0), big), axis=1)
         # candidates: valid pareto points not yet chosen
         cand_score = jnp.where(mask & ~chosen_mask, min_d, -1.0)
         j = jnp.argmax(cand_score).astype(jnp.int32)
         chosen = chosen.at[i].set(j)
+        chosen_front = chosen_front.at[i].set(pareto_front[j])
         chosen_mask = chosen_mask.at[j].set(True)
-        return chosen, chosen_mask
+        return chosen, chosen_front, chosen_mask
 
-    chosen, chosen_mask = jax.lax.fori_loop(min(k, size), size, greedy_body, (chosen, chosen_mask))
+    chosen, chosen_front, chosen_mask = jax.lax.fori_loop(
+        min(k, size), size, greedy_body, carry
+    )
 
     num_valid_total = jnp.sum(mask)
     out_valid = jnp.arange(size) < jnp.minimum(num_valid_total, size)
