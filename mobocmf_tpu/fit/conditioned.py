@@ -192,7 +192,7 @@ def conditioned_loss(
     return loss - omega
 
 
-def train_conditioned(
+def train_conditioned_carry(
     obj_params,
     con_params,
     obj_consts,
@@ -204,8 +204,11 @@ def train_conditioned(
     lr: float,
     eps_const: float,
     batch_size: int,
+    opt_state=None,
 ):
-    """Joint conditioned training: one jitted scan over iterations.
+    """Joint conditioned training scan with explicit Adam-state carry;
+    opt_state=None starts fresh, passing it back continues (used to chunk
+    long phases into bounded device programs — see trainer.chunk_size_for).
 
     The reference cycles each model's own shuffled DataLoader (:282-285); here
     every model sees the same per-iteration minibatch (identical when
@@ -251,13 +254,72 @@ def train_conditioned(
         return (ps, opt_state), loss
 
     ps = (obj_params, con_params)
-    opt_state = opt.init(ps)
+    if opt_state is None:
+        opt_state = opt.init(ps)
     keys = jax.random.split(key, num_iters)
-    (ps, _), losses = jax.lax.scan(step, (ps, opt_state), keys)
-    return ps[0], ps[1], losses
+    (ps, opt_state), losses = jax.lax.scan(step, (ps, opt_state), keys)
+    return ps[0], ps[1], opt_state, losses
+
+
+train_conditioned_carry_jit = jax.jit(
+    train_conditioned_carry,
+    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size"),
+)
+
+
+def train_conditioned(
+    obj_params,
+    con_params,
+    obj_consts,
+    con_consts,
+    config: M.MFDGPConfig,
+    data: ConditionedData,
+    key: jax.Array,
+    num_iters: int,
+    lr: float,
+    eps_const: float,
+    batch_size: int,
+):
+    op, cp, _, losses = train_conditioned_carry(
+        obj_params, con_params, obj_consts, con_consts, config, data, key,
+        num_iters, lr, eps_const, batch_size,
+    )
+    return op, cp, losses
 
 
 train_conditioned_jit = jax.jit(
     train_conditioned,
     static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size"),
 )
+
+
+def train_conditioned_chunked(
+    obj_params,
+    con_params,
+    obj_consts,
+    con_consts,
+    config: M.MFDGPConfig,
+    data: ConditionedData,
+    key: jax.Array,
+    num_iters: int,
+    lr: float,
+    eps_const: float,
+    batch_size: int,
+):
+    """Bounded-program chunking of the conditioned phase (single XLA programs
+    running longer than ~2 min crash the axon TPU worker)."""
+    c = trainer.chunk_size_for(data.x.shape[0])
+    sizes = [c] * (num_iters // c)
+    if num_iters % c:
+        sizes.append(num_iters % c)
+    opt_state = None
+    losses = []
+    op, cp = obj_params, con_params
+    for ci, sz in enumerate(sizes):
+        op, cp, opt_state, ls = train_conditioned_carry_jit(
+            op, cp, obj_consts, con_consts, config, data,
+            jax.random.fold_in(key, ci), sz, lr, eps_const, batch_size,
+            opt_state,
+        )
+        losses.append(ls)
+    return op, cp, jnp.concatenate(losses)

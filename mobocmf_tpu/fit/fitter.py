@@ -199,10 +199,9 @@ class BlackBoxMFDGPFitter:
         ):
             if epochs == 0:
                 continue
-            keys = jax.random.split(self._next_key(), nm)
-            sp, logs = trainer.train_phase_stacked_jit(
-                sp, sc, config, self.x_train, ys_arr, fid, keys,
-                epochs, lr, mask_kind, self._effective_batch_size(),
+            sp, logs = trainer.train_phase_stacked_chunked(
+                sp, sc, config, self.x_train, ys_arr, fid, self._next_key(),
+                nm, epochs, lr, mask_kind, self._effective_batch_size(),
                 self.row_weights, num_data,
             )
             print(
@@ -347,7 +346,7 @@ class BlackBoxMFDGPFitter:
             thresholds=jnp.asarray(self.thresholds_cons, dtype=dtype),
             row_weights=self.row_weights,
         )
-        op, cp, losses = C.train_conditioned_jit(
+        op, cp, losses = C.train_conditioned_chunked(
             op, cp, oc, cc, config, data, self._next_key(),
             self.num_epochs_2, self.lr_2, self.eps, self._effective_batch_size(),
         )

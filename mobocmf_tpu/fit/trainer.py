@@ -126,7 +126,7 @@ def _batch_plan(num_data: int, batch_size: int) -> Tuple[int, int]:
     return batch_size, num_batches
 
 
-def train_phase(
+def train_phase_carry(
     params: M.MFDGPParams,
     consts: M.MFDGPConsts,
     config: M.MFDGPConfig,
@@ -140,8 +140,15 @@ def train_phase(
     batch_size: int,
     row_weights: Array = None,
     num_data: Array = None,
-) -> Tuple[M.MFDGPParams, EpochLog]:
-    """One training phase as a single scan; returns final params + logs.
+    opt_state=None,
+) -> Tuple[M.MFDGPParams, object, EpochLog]:
+    """One training phase as a single scan with explicit Adam-state carry;
+    returns (params, opt_state, logs).
+
+    opt_state=None initializes a fresh optimizer. Passing the returned state
+    back in continues the phase exactly — used to CHUNK long phases into
+    several bounded device programs (single XLA programs running longer than
+    ~2 minutes crash the axon TPU worker; measured: 65 s OK, ~195 s fatal).
 
     mask_kind selects the parameter-freezing schedule (MASK_BUILDERS); the
     mask is built at trace time. row_weights (n,) marks real rows 1.0 /
@@ -194,9 +201,34 @@ def train_phase(
         )
         return (p, opt_state), EpochLog(loss=jnp.sum(losses), kl=jnp.sum(kls))
 
-    opt_state = opt.init(params)
+    if opt_state is None:
+        opt_state = opt.init(params)
     keys = jax.random.split(key, num_epochs)
-    (params, _), logs = jax.lax.scan(epoch_step, (params, opt_state), keys)
+    (params, opt_state), logs = jax.lax.scan(epoch_step, (params, opt_state), keys)
+    return params, opt_state, logs
+
+
+def train_phase(
+    params: M.MFDGPParams,
+    consts: M.MFDGPConsts,
+    config: M.MFDGPConfig,
+    x: Array,
+    y: Array,
+    fidelities: Array,
+    key: jax.Array,
+    num_epochs: int,
+    lr: float,
+    mask_kind: str,
+    batch_size: int,
+    row_weights: Array = None,
+    num_data: Array = None,
+) -> Tuple[M.MFDGPParams, EpochLog]:
+    """One training phase as a single scan; returns final params + logs.
+    See train_phase_carry for the chunkable variant."""
+    params, _, logs = train_phase_carry(
+        params, consts, config, x, y, fidelities, key, num_epochs, lr,
+        mask_kind, batch_size, row_weights, num_data,
+    )
     return params, logs
 
 
@@ -321,3 +353,98 @@ train_phase_stacked_jit = jax.jit(
     train_phase_stacked,
     static_argnames=("config", "num_epochs", "lr", "mask_kind", "batch_size"),
 )
+
+
+def train_phase_stacked_carry(
+    stacked_params,
+    stacked_consts,
+    config: M.MFDGPConfig,
+    x: Array,
+    ys: Array,
+    fidelities: Array,
+    keys: jax.Array,
+    num_epochs: int,
+    lr: float,
+    mask_kind: str,
+    batch_size: int,
+    row_weights: Array = None,
+    num_data: Array = None,
+    opt_states=None,
+):
+    """Stacked phase trainer with explicit per-model Adam-state carry."""
+    if row_weights is None:
+        row_weights = jnp.ones((x.shape[0],), dtype=x.dtype)
+    if num_data is None:
+        num_data = jnp.sum(row_weights)
+
+    def one(p, c, ys_i, key_i, os_i):
+        return train_phase_carry(
+            p, c, config, x, ys_i, fidelities, key_i, num_epochs, lr,
+            mask_kind, batch_size, row_weights, num_data, os_i,
+        )
+
+    os_axes = None if opt_states is None else 0
+    f = jax.vmap(one, in_axes=(0, CONSTS_AXES, 0, 0, os_axes))
+    return f(stacked_params, stacked_consts, ys, keys, opt_states)
+
+
+train_phase_stacked_carry_jit = jax.jit(
+    train_phase_stacked_carry,
+    static_argnames=("config", "num_epochs", "lr", "mask_kind", "batch_size"),
+)
+
+
+# Chunk schedule: keep every device program well under the ~2-minute axon
+# worker kill threshold. Sizes keyed on the (bucketed) row count = inducing
+# count, the dominant cost (O(m^3) Cholesky per step), so the plan is
+# DETERMINISTIC — chunk boundaries feed the RNG stream, and a data-dependent
+# plan would make seeded campaigns irreproducible.
+_CHUNK_LADDER = ((256, 5000), (768, 1000), (1536, 250))
+_CHUNK_MIN = 100
+
+
+def chunk_size_for(m: int) -> int:
+    for cap, c in _CHUNK_LADDER:
+        if m <= cap:
+            return c
+    return _CHUNK_MIN
+
+
+def train_phase_stacked_chunked(
+    stacked_params,
+    stacked_consts,
+    config: M.MFDGPConfig,
+    x: Array,
+    ys: Array,
+    fidelities: Array,
+    key: jax.Array,
+    num_models: int,
+    num_epochs: int,
+    lr: float,
+    mask_kind: str,
+    batch_size: int,
+    row_weights: Array = None,
+    num_data: Array = None,
+):
+    """Run a (possibly long) stacked phase as bounded chunks with Adam-state
+    carry. At most three program sizes compile per phase (chunk, remainder,
+    first-chunk-with-fresh-state), all deterministic given shapes."""
+    c = chunk_size_for(x.shape[0])
+    sizes = [c] * (num_epochs // c)
+    if num_epochs % c:
+        sizes.append(num_epochs % c)
+    opt_states = None
+    logs = []
+    sp = stacked_params
+    for ci, sz in enumerate(sizes):
+        keys = jax.random.split(jax.random.fold_in(key, ci), num_models)
+        sp, opt_states, lg = train_phase_stacked_carry_jit(
+            sp, stacked_consts, config, x, ys, fidelities, keys, sz, lr,
+            mask_kind, batch_size, row_weights, num_data, opt_states,
+        )
+        logs.append(lg)
+    log = EpochLog(
+        loss=jnp.concatenate([l.loss for l in logs], axis=1),
+        kl=jnp.concatenate([l.kl for l in logs], axis=1),
+    )
+    return sp, log

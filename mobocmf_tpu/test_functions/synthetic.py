@@ -74,6 +74,26 @@ def branin_scaled(x):
     return branin(np.stack([x1, x2]))
 
 
+def branin_scaled_low(x):
+    """Low-fidelity Branin (Perdikaris et al. 2017 pairing): a warped,
+    shifted version of the high-fidelity surface on [0,1]^2."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    hf = branin_scaled(x)
+    return (
+        10.0 * np.sqrt(np.maximum(hf, 0.0))
+        + 2.0 * (x[:, 0] - 0.5)
+        - 3.0 * (3.0 * x[:, 1] - 1.0)
+        - 1.0
+    )
+
+
+def disk_constraint(x, radius: float = 0.5):
+    """c(x) = r^2 - ||x - 0.5||^2 (feasible where >= 0): the standard disk
+    constraint used with constrained Branin-Currin benchmarks."""
+    x = np.atleast_2d(np.asarray(x, dtype=float))
+    return radius**2 - np.sum((x - 0.5) ** 2, axis=1)
+
+
 def currin(x):
     """Currin exponential on [0,1]^2 (Branin-Currin pairing)."""
     x = np.atleast_2d(np.asarray(x, dtype=float))
