@@ -66,17 +66,30 @@ def info_gain(
     return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
 
 
-def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x):
+def _stacked_states(s_p, s_c, config):
+    """Per-model layer states (inducing Cholesky chain), vmapped over the
+    stacked blackboxes. x-independent: compute ONCE per program and reuse for
+    every candidate evaluation inside the optimizer loop."""
+    return jax.vmap(
+        lambda p, c: M.compute_layer_states(p, c, config),
+        in_axes=(0, trainer.CONSTS_AXES),
+    )(s_p, s_c)
+
+
+def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x,
+                          states_u=None, states_c=None):
     """Sum of info gains over blackboxes stacked along a leading axis."""
 
-    def one(pu, cu, pc, cc):
-        _, var_u = M.predict_for_acquisition(pu, cu, config, x, fidelity)
-        _, var_c = M.predict_for_acquisition(pc, cc, config, x, fidelity)
+    def one(pu, cu, pc, cc, st_u, st_c):
+        _, var_u = M.predict_for_acquisition(pu, cu, config, x, fidelity, states=st_u)
+        _, var_c = M.predict_for_acquisition(pc, cc, config, x, fidelity, states=st_c)
         return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
 
+    st_axes = None if states_u is None else 0
     gains = jax.vmap(
-        one, in_axes=(0, trainer.CONSTS_AXES, 0, trainer.CONSTS_AXES)
-    )(su_p, su_c, sc_p, sc_c)
+        one,
+        in_axes=(0, trainer.CONSTS_AXES, 0, trainer.CONSTS_AXES, st_axes, st_axes),
+    )(su_p, su_c, sc_p, sc_c, states_u, states_c)
     return jnp.sum(gains, axis=0)
 
 
@@ -84,7 +97,11 @@ def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x):
 def coupled_acq_stacked(
     su_p, su_c, sc_p, sc_c, config: M.MFDGPConfig, fidelity: int, x: Array
 ) -> Array:
-    return _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x)
+    return _coupled_gain_stacked(
+        su_p, su_c, sc_p, sc_c, config, fidelity, x,
+        states_u=_stacked_states(su_p, su_c, config),
+        states_c=_stacked_states(sc_p, sc_c, config),
+    )
 
 
 @partial(
@@ -108,9 +125,14 @@ def optimize_coupled_jes(
 ):
     """Maximize the coupled JES acquisition at one fidelity over [0,1]^d."""
     dtype = su_c.z_x[0].dtype
+    # factor every model's inducing chain once; the L-BFGS loop reuses it
+    states_u = _stacked_states(su_p, su_c, config)
+    states_c = _stacked_states(sc_p, sc_c, config)
 
     def acq(xx):
-        return _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, xx)
+        return _coupled_gain_stacked(
+            su_p, su_c, sc_p, sc_c, config, fidelity, xx, states_u, states_c
+        )
 
     return optimize_acqf_box(
         acq, input_dim, key,
@@ -145,9 +167,13 @@ def optimize_coupled_jes_penalized(
     factor around `chosen` (acquisition/batch.py's construction, but module
     level with params as runtime args so BO iterations 2+ hit the jit cache)."""
     dtype = su_c.z_x[0].dtype
+    states_u = _stacked_states(su_p, su_c, config)
+    states_c = _stacked_states(sc_p, sc_c, config)
 
     def acq(xx):
-        base = _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, xx)
+        base = _coupled_gain_stacked(
+            su_p, su_c, sc_p, sc_c, config, fidelity, xx, states_u, states_c
+        )
         d2 = jnp.sum((xx[:, None, :] - chosen[None, :, :]) ** 2, axis=-1)
         pen = 1.0 - jnp.exp(-d2 / (2.0 * rho**2))
         return base * jnp.prod(pen, axis=1)

@@ -498,22 +498,34 @@ def predict(
     x: Array,
     fidelity: int,
     eps: Array,
+    states: Optional[List["LayerState"]] = None,
 ) -> Tuple[Array, Array]:
     """Predictive with likelihood noise at the given fidelity
     (reference mfdgp.py:220-235)."""
-    outs = forward(params, consts, config, x, eps, max_fidelity=fidelity)
+    outs = forward(params, consts, config, x, eps, max_fidelity=fidelity, states=states)
     mu, var = outs[fidelity]
     noise = likelihood_noise(params, consts, fidelity)
     return mu, var + noise
 
 
 def predict_for_acquisition(
-    params: MFDGPParams, consts: MFDGPConsts, config: MFDGPConfig, x: Array, fidelity: int
+    params: MFDGPParams,
+    consts: MFDGPConsts,
+    config: MFDGPConfig,
+    x: Array,
+    fidelity: int,
+    states: Optional[List["LayerState"]] = None,
 ) -> Tuple[Array, Array]:
     """25x-tiled eval-mode predictive + moment matching (mfdgp.py:237-262).
 
     Deterministic: uses the fixed per-layer acq_eps normals, which keeps the
     acquisition surface smooth for gradient-based candidate optimization.
+
+    `states` (compute_layer_states output) lets callers evaluating many
+    candidate batches — e.g. every iteration of the acquisition L-BFGS —
+    factor the x-independent inducing Cholesky chain ONCE instead of per
+    evaluation (at m=512+ the repeated factorizations put the optimizer
+    program past the TPU worker's execution limit).
     """
     n = x.shape[0]
     s = config.num_samples_for_acquisition
@@ -523,7 +535,7 @@ def predict_for_acquisition(
         eps = jnp.tile(consts.acq_eps[1:, :], (1, n))
     else:
         eps = jnp.zeros((0, n * s), dtype=x.dtype)
-    mus_t, vars_t = predict(params, consts, config, x_tile, fidelity, eps)
+    mus_t, vars_t = predict(params, consts, config, x_tile, fidelity, eps, states=states)
     mus_t = mus_t.reshape(n, s)
     vars_t = vars_t.reshape(n, s)
     mus = jnp.mean(mus_t, axis=1)
