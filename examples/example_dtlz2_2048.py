@@ -87,9 +87,11 @@ def main():
             pareto_set_size=10, **common,
         )
     elif args.full_epochs:
-        config = BOConfig(**common)
+        config = BOConfig(acq_maxiter=40, **common)
     else:
-        config = BOConfig(num_epochs_1=1000, num_epochs_2=2000, **common)
+        config = BOConfig(
+            num_epochs_1=1000, num_epochs_2=2000, acq_maxiter=40, **common
+        )
 
     state = run_bo_loop(blackboxes, x_init, fid_init, config)
     print(f"final: {state.x.shape[0]} points, observed HV trajectory "

@@ -212,9 +212,16 @@ class JESMOC_MFDGP:
         standard_bounds=None,
         eval_highest_fidelity: bool = False,
         seed: int = 0,
+        acq_maxiter: int = 200,
     ):
+        """acq_maxiter caps the candidate L-BFGS (reference parity: 200,
+        botorch options maxiter at JESMOC_MFDGP.py:159-160). Large-m scale
+        configs lower it to keep the optimizer's device program under the
+        TPU worker's ~2-minute execution limit; the loop normally converges
+        in 20-60 iterations."""
         self.standard_bounds = standard_bounds
         self.eval_highest_fidelity = eval_highest_fidelity
+        self.acq_maxiter = int(acq_maxiter)
         self.blackbox_mfdgp_fitter_uncond = model.copy_uncond()
         self.key = jax.random.key(seed)
 
@@ -311,7 +318,7 @@ class JESMOC_MFDGP:
         su_p, su_c, sc_p, sc_c, config = stacked
         return optimize_coupled_jes(
             su_p, su_c, sc_p, sc_c, config, fidelity, self._next_key(),
-            self._input_dim(),
+            self._input_dim(), maxiter=self.acq_maxiter,
         )
 
     def _get_nextpoint_coupled_highest_fidelity(self, iteration=None, verbose=False):
@@ -371,7 +378,7 @@ class JESMOC_MFDGP:
         for k in range(q):
             x_k, _ = optimize_coupled_jes_penalized(
                 su_p, su_c, sc_p, sc_c, config, fidelity, chosen,
-                self._next_key(), d, float(rho),
+                self._next_key(), d, float(rho), maxiter=self.acq_maxiter,
             )
             chosen = chosen.at[k0 + k].set(x_k)
         return chosen[k0:]

@@ -82,6 +82,10 @@ class BOConfig:
     # optimization, then the batch is filled by sequential greedy
     # local-penalization maximization (acquisition/batch.py) at that fidelity.
     q: int = 1
+    # cap on the candidate L-BFGS iterations (reference parity: 200). Large-m
+    # scale configs lower it so the acquisition device program stays under
+    # the TPU worker's ~2-minute execution limit.
+    acq_maxiter: int = 200
     # per-iteration kernel-hyperparameter dumps to <log_dir>/params/*.txt
     # (reference toy:230-257 via print_lengthscales_and_outputscale)
     dump_params: bool = False
@@ -267,6 +271,7 @@ def run_bo_loop(
         jes = JESMOC_MFDGP(
             model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
             eval_highest_fidelity=config.eval_highest_fidelity, seed=config.seed + it,
+            acq_maxiter=config.acq_maxiter,
         )
         for bb in blackboxes:
             for level in range(config.num_fidelities):
