@@ -80,6 +80,9 @@ def main():
     common = dict(
         num_fidelities=3, num_bo_iterations=args.iters, seed=SEED,
         log_dir=args.log_dir,
+        # full batch (batch_size=None): the m=2048 inducing Cholesky is paid
+        # once per optimizer step either way, so minibatching only multiplies
+        # factorizations per epoch
     )
     if args.fast:
         config = BOConfig(

@@ -399,8 +399,8 @@ train_phase_stacked_carry_jit = jax.jit(
 # count, the dominant cost (O(m^3) Cholesky per step), so the plan is
 # DETERMINISTIC — chunk boundaries feed the RNG stream, and a data-dependent
 # plan would make seeded campaigns irreproducible.
-_CHUNK_LADDER = ((256, 5000), (768, 1000), (1536, 250))
-_CHUNK_MIN = 100
+_CHUNK_LADDER = ((256, 5000), (768, 1000), (1536, 250), (3072, 50))
+_CHUNK_MIN = 25
 
 
 def chunk_size_for(m: int) -> int:
