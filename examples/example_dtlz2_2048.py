@@ -90,10 +90,10 @@ def main():
             pareto_set_size=10, **common,
         )
     elif args.full_epochs:
-        config = BOConfig(acq_maxiter=40, **common)
+        config = BOConfig(acq_maxiter=15, acq_raw_samples=64, **common)
     else:
         config = BOConfig(
-            num_epochs_1=1000, num_epochs_2=2000, acq_maxiter=40, **common
+            num_epochs_1=1000, num_epochs_2=2000, acq_maxiter=15, acq_raw_samples=64, **common
         )
 
     state = run_bo_loop(blackboxes, x_init, fid_init, config)

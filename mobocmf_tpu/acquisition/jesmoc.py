@@ -213,6 +213,7 @@ class JESMOC_MFDGP:
         eval_highest_fidelity: bool = False,
         seed: int = 0,
         acq_maxiter: int = 200,
+        acq_raw_samples: int = 200,
     ):
         """acq_maxiter caps the candidate L-BFGS (reference parity: 200,
         botorch options maxiter at JESMOC_MFDGP.py:159-160). Large-m scale
@@ -222,6 +223,7 @@ class JESMOC_MFDGP:
         self.standard_bounds = standard_bounds
         self.eval_highest_fidelity = eval_highest_fidelity
         self.acq_maxiter = int(acq_maxiter)
+        self.acq_raw_samples = int(acq_raw_samples)
         self.blackbox_mfdgp_fitter_uncond = model.copy_uncond()
         self.key = jax.random.key(seed)
 
@@ -319,6 +321,7 @@ class JESMOC_MFDGP:
         return optimize_coupled_jes(
             su_p, su_c, sc_p, sc_c, config, fidelity, self._next_key(),
             self._input_dim(), maxiter=self.acq_maxiter,
+            raw_samples=self.acq_raw_samples,
         )
 
     def _get_nextpoint_coupled_highest_fidelity(self, iteration=None, verbose=False):
@@ -379,6 +382,7 @@ class JESMOC_MFDGP:
             x_k, _ = optimize_coupled_jes_penalized(
                 su_p, su_c, sc_p, sc_c, config, fidelity, chosen,
                 self._next_key(), d, float(rho), maxiter=self.acq_maxiter,
+                raw_samples=self.acq_raw_samples,
             )
             chosen = chosen.at[k0 + k].set(x_k)
         return chosen[k0:]

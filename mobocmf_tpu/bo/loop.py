@@ -86,6 +86,7 @@ class BOConfig:
     # scale configs lower it so the acquisition device program stays under
     # the TPU worker's ~2-minute execution limit.
     acq_maxiter: int = 200
+    acq_raw_samples: int = 200
     # per-iteration kernel-hyperparameter dumps to <log_dir>/params/*.txt
     # (reference toy:230-257 via print_lengthscales_and_outputscale)
     dump_params: bool = False
@@ -272,6 +273,7 @@ def run_bo_loop(
             model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
             eval_highest_fidelity=config.eval_highest_fidelity, seed=config.seed + it,
             acq_maxiter=config.acq_maxiter,
+            acq_raw_samples=config.acq_raw_samples,
         )
         for bb in blackboxes:
             for level in range(config.num_fidelities):
