@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
+from mobocmf_tpu.acquisition.optimize import (
+    optimize_acqf_box,
+    optimize_acqf_box_multi,
+)
 from mobocmf_tpu.fit import trainer
 from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
 from mobocmf_tpu.models import mfdgp as M
@@ -136,6 +139,62 @@ def optimize_coupled_jes(
 
     return optimize_acqf_box(
         acq, input_dim, key,
+        num_restarts=num_restarts, raw_samples=raw_samples, maxiter=maxiter,
+        dtype=dtype,
+    )
+
+
+def _coupled_gain_all_stacked(su_p, su_c, sc_p, sc_c, config, x,
+                              states_u, states_c):
+    """(F, N) coupled JES gains at every fidelity from one all-layer forward
+    per blackbox (M.predict_for_acquisition_all), summed over blackboxes."""
+
+    def one(pu, cu, pc, cc, st_u, st_c):
+        _, var_u = M.predict_for_acquisition_all(pu, cu, config, x, states=st_u)
+        _, var_c = M.predict_for_acquisition_all(pc, cc, config, x, states=st_c)
+        return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
+
+    gains = jax.vmap(
+        one, in_axes=(0, trainer.CONSTS_AXES, 0, trainer.CONSTS_AXES, 0, 0)
+    )(su_p, su_c, sc_p, sc_c, states_u, states_c)
+    return jnp.sum(gains, axis=0)  # (F, N)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("config", "input_dim", "num_restarts", "raw_samples", "maxiter"),
+)
+def optimize_coupled_jes_all_fidelities(
+    su_p,
+    su_c,
+    sc_p,
+    sc_c,
+    config: M.MFDGPConfig,
+    key: jax.Array,
+    input_dim: int,
+    num_restarts: int = 5,
+    raw_samples: int = 200,
+    maxiter: int = 200,
+):
+    """Maximize the coupled JES acquisition at EVERY fidelity in ONE program.
+
+    Replaces the per-fidelity Python loop over optimize_coupled_jes (round-2
+    jesmoc.py:338-347, the dominant late-campaign phase): the inducing
+    Cholesky chains are factored once and shared, raw-sample screening scores
+    all fidelities from one forward pass, and all F x num_restarts L-BFGS
+    lanes run in one vmapped while_loop. Returns (xs (F, d), values (F,)).
+    """
+    states_u = _stacked_states(su_p, su_c, config)
+    states_c = _stacked_states(sc_p, sc_c, config)
+    dtype = su_c.z_x[0].dtype
+
+    def acq_all(xx):
+        return _coupled_gain_all_stacked(
+            su_p, su_c, sc_p, sc_c, config, xx, states_u, states_c
+        )
+
+    return optimize_acqf_box_multi(
+        acq_all, config.num_fidelities, input_dim, key,
         num_restarts=num_restarts, raw_samples=raw_samples, maxiter=maxiter,
         dtype=dtype,
     )
@@ -335,16 +394,49 @@ class JESMOC_MFDGP:
             )
         return x_best, fidelity
 
+    def _fused_eligible(self):
+        """The fused all-fidelity optimizer needs the SAME blackbox set
+        registered at every fidelity (the standard coupled campaign). Returns
+        the shared stacked pytrees, or None (-> per-fidelity fallback)."""
+        ref = None
+        for f in range(self.num_fidelities):
+            names = (
+                tuple(self.objectives[f].keys()),
+                tuple(self.constraints[f].keys()),
+            )
+            if not (names[0] or names[1]):
+                return None
+            if ref is None:
+                ref = names
+            elif names != ref:
+                return None
+        return self._stacked(0)
+
     def _get_nextpoint_coupled(self, iteration=None, verbose=False):
         best_weighted, best_x, best_fid = None, None, 0
-        for fidelity in range(self.num_fidelities):
-            x_f, value = self._optimize_fidelity(fidelity)
-            if x_f is None:  # no blackboxes registered at this fidelity
-                continue
-            weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
-            if best_weighted is None or weighted > best_weighted:
-                best_weighted, best_x, best_fid = weighted, x_f, fidelity
-        assert best_x is not None, "no blackboxes registered at any fidelity"
+        fused = self._fused_eligible() if self.num_fidelities > 1 else None
+        if fused is not None:
+            su_p, su_c, sc_p, sc_c, config = fused
+            xs, vals = optimize_coupled_jes_all_fidelities(
+                su_p, su_c, sc_p, sc_c, config, self._next_key(),
+                self._input_dim(), maxiter=self.acq_maxiter,
+                raw_samples=self.acq_raw_samples,
+            )
+            xs, vals = np.asarray(xs), np.asarray(vals)
+            for fidelity in range(self.num_fidelities):
+                weighted = float(vals[fidelity]) / self.costs_blackboxes[fidelity]["total"]
+                if best_weighted is None or weighted > best_weighted:
+                    best_weighted, best_x, best_fid = weighted, xs[fidelity], fidelity
+        else:
+            for fidelity in range(self.num_fidelities):
+                x_f, value = self._optimize_fidelity(fidelity)
+                if x_f is None:  # no blackboxes registered at this fidelity
+                    continue
+                weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
+                if best_weighted is None or weighted > best_weighted:
+                    best_weighted, best_x, best_fid = weighted, x_f, fidelity
+        if best_x is None:
+            raise ValueError("no blackboxes registered at any fidelity")
         if verbose:
             print(
                 f"Iter: {iteration} Acquisition: "
@@ -366,7 +458,8 @@ class JESMOC_MFDGP:
         from mobocmf_tpu.acquisition.batch import PAD_VALUE
 
         stacked = self._stacked(fidelity)
-        assert stacked is not None, f"no blackboxes registered at fidelity {fidelity}"
+        if stacked is None:
+            raise ValueError(f"no blackboxes registered at fidelity {fidelity}")
         su_p, su_c, sc_p, sc_c, config = stacked
         d = self._input_dim()
         dtype = su_c.z_x[0].dtype

@@ -183,9 +183,11 @@ def init_mfdgp(
     outputscales (1, 1, 0.01) — and excluded from training.
 
     Runs its (eager, tiny) init math on the LOCAL CPU backend and ships the
-    finished pytrees to the ambient default device in one transfer: over the
-    TPU tunnel every eager op is a ~20 ms round trip, which made per-model
-    init a multi-second affair dominating warm BO iterations.
+    finished pytrees to the ambient default device in one transfer: the
+    aggregate python+dispatch overhead of hundreds of tiny eager device ops
+    (~0.1 ms dispatch each, benchmarks/probe_setup.py, plus host-side
+    tracing on the 1-core box) made per-model init a multi-second affair
+    dominating warm BO iterations.
     """
     try:
         cpu = jax.devices("cpu")[0]
@@ -541,6 +543,43 @@ def predict_for_acquisition(
     mus = jnp.mean(mus_t, axis=1)
     second = jnp.mean(vars_t + mus_t**2, axis=1)
     return mus, second - mus**2
+
+
+def predict_for_acquisition_all(
+    params: MFDGPParams,
+    consts: MFDGPConsts,
+    config: MFDGPConfig,
+    x: Array,
+    states: Optional[List["LayerState"]] = None,
+) -> Tuple[Array, Array]:
+    """predict_for_acquisition at EVERY fidelity from ONE all-layer forward.
+
+    The layer stack is sequential (layer ell consumes layer ell-1,
+    reference mfdgp.py:174-196), so propagating to the top fidelity computes
+    every lower fidelity's tiled predictive for free. Returns (mus, vars)
+    of shape (F, n) — row f identical to predict_for_acquisition(..., f)
+    (the per-layer eps tiling and moment matching are unchanged). This is
+    the fused acquisition path: the coupled JES candidate optimization runs
+    one program over all fidelities instead of F sequential programs.
+    """
+    n = x.shape[0]
+    s = config.num_samples_for_acquisition
+    x_tile = jnp.repeat(x, s, axis=0)
+    if config.num_fidelities > 1:
+        eps = jnp.tile(consts.acq_eps[1:, :], (1, n))
+    else:
+        eps = jnp.zeros((0, n * s), dtype=x.dtype)
+    outs = forward(params, consts, config, x_tile, eps, states=states)
+    mus_all, vars_all = [], []
+    for f, (mu_t, var_t) in enumerate(outs):
+        var_t = var_t + likelihood_noise(params, consts, f)
+        mu_t = mu_t.reshape(n, s)
+        var_t = var_t.reshape(n, s)
+        mu = jnp.mean(mu_t, axis=1)
+        second = jnp.mean(var_t + mu_t**2, axis=1)
+        mus_all.append(mu)
+        vars_all.append(second - mu**2)
+    return jnp.stack(mus_all), jnp.stack(vars_all)
 
 
 # Module-level jitted predictive for host-level callers (plotting, ad-hoc

@@ -69,8 +69,12 @@ def _one_iteration(seed: int):
 
 def test_no_acquisition_recompiles_across_iterations():
     _one_iteration(0)
+    # the standard coupled registration takes the FUSED all-fidelity program
+    # (round 3, optimize_coupled_jes_all_fidelities); the per-fidelity
+    # optimize_coupled_jes is the asymmetric-registration fallback and stays
+    # cold here
     sizes_before = {
-        "optimize": jesmoc.optimize_coupled_jes._cache_size(),
+        "optimize_all": jesmoc.optimize_coupled_jes_all_fidelities._cache_size(),
         "coupled": jesmoc.coupled_acq_stacked._cache_size(),
         "info_gain": jesmoc.info_gain._cache_size(),
     }
@@ -79,7 +83,7 @@ def test_no_acquisition_recompiles_across_iterations():
     # second BO iteration: same shapes, fresh params -> zero new compiles
     _one_iteration(1)
     sizes_after = {
-        "optimize": jesmoc.optimize_coupled_jes._cache_size(),
+        "optimize_all": jesmoc.optimize_coupled_jes_all_fidelities._cache_size(),
         "coupled": jesmoc.coupled_acq_stacked._cache_size(),
         "info_gain": jesmoc.info_gain._cache_size(),
     }
