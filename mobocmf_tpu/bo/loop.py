@@ -93,6 +93,17 @@ class BOConfig:
     # per-iteration contour plots (2-D problems) of predictive mean/std and
     # acquisition surfaces to <log_dir>/plots/ (reference toy:139-226,484-493)
     plot_surfaces: bool = False
+    # whitened inducing-point parameterization (q(v) with u = chol(Kzz) v) —
+    # the BASELINE.json north-star redesign of the reference's
+    # MFDGUnwhitenedVariationalStrategy (mfdgp_hidden_layer.py:141-146,
+    # 520-559). Initialization converts the reference's unwhitened init into
+    # whitened coordinates exactly (models/mfdgp.py:304-341), so campaigns
+    # start from the identical posterior either way.
+    whitened: bool = False
+    # optional jax.sharding.Mesh: shards the Pareto-sampling MOOP grid
+    # evaluation (the 1000*d^2-point hot axis, reference moop.py:232) over
+    # the mesh's 'dp' axis (parallel/sharding.sharded_grid_eval)
+    mesh: Optional[object] = None
     # orbax checkpoints of the trained (uncond, cond) fitters per iteration
     # (reference store_models_in_disk / load_models_from_disk, toy:38-45,
     # 366-425): store writes <log_dir>/models/iter{it}/{uncond,cond}; load
@@ -140,6 +151,13 @@ def run_bo_loop(
             x = np.vstack([x, x_extra])
             fid = np.concatenate([fid, fid_extra])
             # q points are appended per iteration
+            if x_extra.shape[0] % config.q != 0:
+                raise ValueError(
+                    f"resume mismatch: {log_dir} holds {x_extra.shape[0]} "
+                    f"evaluated points, not a multiple of q={config.q} — the "
+                    "log dir was written under a different q; restart with "
+                    "the original q or a fresh log_dir"
+                )
             start_iter = x_extra.shape[0] // config.q
             print(
                 f"[resume] replayed {x_extra.shape[0]} evaluated points "
@@ -164,12 +182,13 @@ def run_bo_loop(
         if os.path.exists(obs_file) and os.path.getsize(obs_file) > 0:
             state.hypervolumes = list(np.atleast_1d(np.loadtxt(obs_file)))
         if len(state.hypervolumes) < start_iter:
-            # resuming a log dir with missing/short observed-HV history (e.g.
-            # written by an older layout): pad with NaN so the trajectory
-            # stays aligned with iteration indices
-            state.hypervolumes = [float("nan")] * (
+            # resuming a log dir with missing/short observed-HV history (a
+            # crash between the points append and the HV append loses the
+            # TAIL entry): pad with NaN at the END so the recorded entries
+            # keep their original iteration indices
+            state.hypervolumes = state.hypervolumes + [float("nan")] * (
                 start_iter - len(state.hypervolumes)
-            ) + state.hypervolumes
+            )
 
     prev_fitter = None
     for it in range(start_iter, config.num_bo_iterations):
@@ -196,18 +215,12 @@ def run_bo_loop(
             try:
                 from mobocmf_tpu.util.checkpoint import restore_fitter
 
+                # the checkpoint meta carries the fitter's full hyperparameter
+                # schedule (util/checkpoint.py save_fitter meta["hyper"]), so
+                # the restored objects train/sample with the campaign's
+                # settings without manual re-application
                 f_u = restore_fitter(os.path.join(models_dir, "uncond"))
                 f_c = restore_fitter(os.path.join(models_dir, "cond"))
-                # restore_fitter rebuilds with constructor defaults; apply the
-                # campaign's settings so any later (re)training/sampling on
-                # these objects uses the configured schedule
-                for f in (f_u, f_c):
-                    f.lr_1, f.lr_2 = config.lr_1, config.lr_2
-                    f.num_epochs_1 = config.num_epochs_1
-                    f.num_epochs_2 = config.num_epochs_2
-                    f.pareto_set_size = config.pareto_set_size
-                    f.opt_grid_size = config.opt_grid_size
-                    f.polish = config.polish
                 fitter, cond, loaded = f_u, f_c, True
                 print(f"[BO iter {it}] restored models from {models_dir}")
             except Exception as e:
@@ -222,6 +235,7 @@ def run_bo_loop(
                 opt_grid_size=config.opt_grid_size,
                 type_lengthscale=config.type_lengthscale, seed=config.seed + it,
                 pad_data=config.pad_data, polish=config.polish,
+                whitened=config.whitened, mesh=config.mesh,
             )
             for bb in blackboxes:
                 mean, std = stats[bb.name]
@@ -465,8 +479,10 @@ def _recommendation_model_pass(
     """Model side of the recommendation in ONE program: per-constraint
     latent feasibility probabilities (noise subtracted, toy:545-546),
     per-objective unstandardized predictive means, and the feasible Pareto
-    cull. Raw eager predict_for_acquisition calls cost hundreds of ~20 ms
-    tunnel dispatches per iteration."""
+    cull. Raw eager predict_for_acquisition calls dispatch hundreds of tiny
+    device programs per iteration; the aggregate python+dispatch overhead
+    (not per-op tunnel latency, which is ~0.1 ms — benchmarks/probe_setup.py)
+    dominated on the 1-core host."""
     import jax.numpy as jnp
     from jax.scipy.stats import norm as jnorm
 

@@ -63,7 +63,8 @@ def pad_inputs_np(
     x: np.ndarray, fidelities: np.ndarray, target: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Pad (x, fidelities) with far-away rows up to `target` rows, on HOST
-    (eager device ops over the TPU tunnel cost ~20 ms each; setup padding is
+    (aggregate python+dispatch overhead on the 1-core host, ~0.1 ms/dispatch
+    measured in benchmarks/probe_setup.py; setup padding is
     pure numpy and device arrays are created once per fitter).
 
     Pads are 100 + 10*i on every coordinate: the deep-MF kernel's smooth

@@ -54,6 +54,7 @@ class BlackBoxMFDGPFitter:
         whitened: bool = False,
         pad_data: bool = False,
         polish: str = "slsqp",
+        mesh=None,
     ):
         """pad_data: bucket the training rows to geometric sizes with masked
         far-away padding (fit/bucketing.py) so a growing BO campaign compiles
@@ -81,6 +82,10 @@ class BlackBoxMFDGPFitter:
         # "device" = multi-start penalty L-BFGS fully on device (SURVEY §7.1's
         # TPU path — no host round trips); "none" disables polishing.
         self.polish = polish
+        # optional jax.sharding.Mesh: Pareto-sampling grid evaluations (the
+        # 1000*d^2-point hot axis, reference moop.py:232) shard over its 'dp'
+        # axis via parallel.sharding.sharded_grid_eval
+        self.mesh = mesh
         self.num_real: Optional[int] = None  # real rows (x_train may be padded)
         self.row_weights: Optional[Array] = None
 
@@ -119,9 +124,11 @@ class BlackBoxMFDGPFitter:
         init_params_to_prior_and_fix_them: bool = False,
         use_only_highest_fidelity: bool = False,
     ):
-        # All setup array prep happens on HOST (numpy): eager device ops over
-        # the TPU tunnel cost ~20 ms each and used to dominate BO-iteration
-        # setup. Device arrays are created once per fitter, in one transfer.
+        # All setup array prep happens on HOST (numpy): per-op dispatch is
+        # cheap (~0.1 ms, benchmarks/probe_setup.py) but the aggregate
+        # python+dispatch overhead of many tiny eager ops dominated
+        # BO-iteration setup on the 1-core host. Device arrays are created
+        # once per fitter, in one transfer.
         x_np = np.asarray(x_train)
         y_np = np.asarray(y_train, dtype=x_np.dtype).reshape(-1)
         f_np = np.asarray(fidelities).reshape(-1).astype(np.int32)
@@ -266,6 +273,7 @@ class BlackBoxMFDGPFitter:
                 pareto_set_size=self.pareto_set_size,
                 feasible_values=-1.0 * np.asarray(self.thresholds_cons),
                 polish=self.polish,
+                mesh=self.mesh,
             )
             res = global_optimizer.compute_pareto_solution_from_samples(
                 self.x_train, self._next_key(),

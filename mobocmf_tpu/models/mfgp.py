@@ -110,9 +110,16 @@ def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPMo
 def predict(model: MFGPModel, x: Array, fidelity: int) -> Tuple[Array, Array]:
     """Posterior latent mean/var at [x, fidelity] (reference mfgp.py:50-61).
 
-    Returns the noiseless predictive (gpytorch `self(x)` posterior)."""
-    if x.ndim > 2:
-        x = x[:, 0, :]
+    Returns the noiseless predictive (gpytorch `self(x)` posterior).
+
+    Batched inputs: a botorch-style (b, q, d) batch returns (b, q) mean/var —
+    each batch row predicted independently (the reference asserts q == 1 and
+    squeezes, mfgp.py:52-54; MFKernel_lin carries the general expand path,
+    mfgp_lin.py:131-145,186-189 — here both models accept any q)."""
+    if x.ndim == 3:
+        b, q, d = x.shape
+        mean, var = predict(model, x.reshape(b * q, d), fidelity)
+        return mean.reshape(b, q), var.reshape(b, q)
     fid_col = jnp.full((x.shape[0], 1), float(fidelity), dtype=x.dtype)
     x_aug = jnp.concatenate([x, fid_col], axis=1)
     params = model.params

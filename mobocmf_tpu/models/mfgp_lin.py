@@ -100,8 +100,14 @@ def fit_mfgp_lin(model: MFGPLinModel, num_iters: int = 500, lr: float = 0.05) ->
 
 
 def predict(model: MFGPLinModel, x: Array, fidelity: int) -> Tuple[Array, Array]:
-    if x.ndim > 2:
-        x = x[:, 0, :]
+    """Posterior latent mean/var at [x, fidelity]. Accepts botorch-style
+    (b, q, d) batches and returns (b, q) — the reference's MFKernel_lin
+    expand path semantics (mfgp_lin.py:131-145,186-189): every (batch, q)
+    point predicted as if flattened to rows."""
+    if x.ndim == 3:
+        b, q, d = x.shape
+        mean, var = predict(model, x.reshape(b * q, d), fidelity)
+        return mean.reshape(b, q), var.reshape(b, q)
     fid_col = jnp.full((x.shape[0], 1), float(fidelity), dtype=x.dtype)
     x_aug = jnp.concatenate([x, fid_col], axis=1)
     return _predict_aug(model, x_aug)

@@ -258,9 +258,10 @@ def _device_polish_factory(obj_fn, con_fns, input_dim: int, iters: int = 100):
 
 def _slsqp_fused_eval(obj, cons: Sequence, x, input_dim: int):
     """(obj value, obj grad, cons values, cons jacobian) for a single point in
-    ONE cached jitted call returning ONE flat buffer. Host SLSQP over the TPU
-    tunnel pays ~20 ms latency per device round trip, so f / f' / g / g' must
-    share a single dispatch and a single device->host transfer."""
+    ONE cached jitted call returning ONE flat buffer. Host SLSQP makes many
+    tiny calls; per-dispatch latency is small (~0.1 ms) but python+dispatch
+    overhead and device->host transfers add up on the 1-core host, so
+    f / f' / g / g' share a single dispatch and a single transfer."""
     key = (obj.fn, tuple(c.fn for c in cons))
     if key not in _SLSQP_FUSED_CACHE:
         obj_fn, con_fns = key

@@ -39,9 +39,11 @@ def sample_problem(
     otherwise leave a jointly infeasible problem (observed for the toy
     example's SEED=4: joint feasible fraction exactly 0).
 
-    `probe` defaults to 500 points drawn from the global numpy RNG (matching
-    the toy example's historical behavior so existing campaign logs resume
-    onto the identical problem).
+    `probe` defaults to 500 points derived from `key` itself, so the WHOLE
+    problem (objectives, constraints, calibration probe) is a pure function
+    of one jax PRNG key — one seeded stream, no global-numpy-RNG dependence
+    (the reference splits seeding across torch and numpy globals, toy:22-23;
+    round-2 inherited that flaw through a global np.random probe draw).
     """
     import jax
     import jax.numpy as jnp
@@ -53,7 +55,10 @@ def sample_problem(
 
     cons: List = []
     if probe is None:
-        probe = np.random.uniform(size=(500, d))
+        probe = np.asarray(
+            jax.random.uniform(jax.random.fold_in(key, 777), (500, d)),
+            dtype=float,
+        )
     probe_j = jnp.asarray(probe)
     key_c = jax.random.fold_in(key, 999)
     joint_feas = np.ones(probe.shape[0], dtype=bool)

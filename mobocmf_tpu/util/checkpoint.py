@@ -49,6 +49,21 @@ def save_fitter(path: str, fitter) -> None:
         "num_fidelities": fitter.num_fidelities,
         "batch_size": fitter.batch_size,
         "models_uncond_trained": fitter.models_uncond_trained,
+        # training/sampling hyperparameters: the checkpoint carries the full
+        # schedule so a restored fitter (re)trains/samples exactly as the
+        # campaign configured it — no manual re-application by the caller
+        "hyper": {
+            "lr_1": float(fitter.lr_1),
+            "lr_2": float(fitter.lr_2),
+            "num_epochs_1": int(fitter.num_epochs_1),
+            "num_epochs_2": int(fitter.num_epochs_2),
+            "pareto_set_size": int(fitter.pareto_set_size),
+            "opt_grid_size": int(fitter.opt_grid_size),
+            "eps": float(fitter.eps),
+            "polish": str(fitter.polish),
+            "whitened": bool(fitter.whitened),
+            "type_lengthscale": fitter.type_lengthscale.name,
+        },
         "config": [fitter.models_objs[fitter.obj_names[0]].config._asdict()]
         if fitter.obj_names
         else [],
@@ -76,8 +91,18 @@ def restore_fitter(path: str, fitter_cls=None):
     restored = ckptr.restore(os.path.join(path, "state"))
     state, meta = restored["state"], restored["meta"]
 
+    hyper = dict(meta.get("hyper", {}))
+    if "type_lengthscale" in hyper:
+        from mobocmf_tpu.models.mfdgp import TL
+
+        hyper["type_lengthscale"] = TL[str(hyper["type_lengthscale"])]
+    for k in ("num_epochs_1", "num_epochs_2", "pareto_set_size", "opt_grid_size"):
+        if k in hyper:
+            hyper[k] = int(hyper[k])
     fitter = (fitter_cls or BlackBoxMFDGPFitter)(
-        num_fidelities=int(meta["num_fidelities"]), batch_size=int(meta["batch_size"])
+        num_fidelities=int(meta["num_fidelities"]),
+        batch_size=int(meta["batch_size"]),
+        **hyper,
     )
     fitter.obj_names = list(meta["obj_names"])
     fitter.con_names = list(meta["con_names"])

@@ -18,7 +18,8 @@ from mobocmf_tpu.models import mfdgp as M
 
 def _softplus(raw):
     # numpy softplus (stable): runs on HOST — eager device ops over the TPU
-    # tunnel cost ~20 ms each, and this is called ~20x per model per dump
+    # dispatch is cheap (~0.1 ms, benchmarks/probe_setup.py) but python+
+    # dispatch overhead aggregates: this is called ~20x per model per dump
     raw = np.asarray(raw, dtype=np.float64)
     return np.log1p(np.exp(-np.abs(raw))) + np.maximum(raw, 0.0)
 

@@ -42,6 +42,37 @@ def test_checkpoint_roundtrip_preserves_params(small_fitter, tmp_path):
     assert restored.models_objs["obj1"].config == fitter.models_objs["obj1"].config
 
 
+def test_checkpoint_meta_carries_hyperparameters(tmp_path):
+    """A restored fitter trains with the campaign's schedule without manual
+    patching: the checkpoint meta carries the full hyperparameter set
+    (VERDICT r2 item 9 — bo/loop.py used to re-apply them by hand)."""
+    from mobocmf_tpu.models.mfdgp import TL
+
+    rng = np.random.default_rng(1)
+    n, d = 10, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2))
+    fitter = BlackBoxMFDGPFitter(
+        2, batch_size=n, lr_1=0.007, lr_2=0.0004, num_epochs_1=3,
+        num_epochs_2=4, pareto_set_size=7, opt_grid_size=33, eps=1e-7,
+        type_lengthscale=TL.ONES, polish="device", whitened=True,
+    )
+    fitter.initialize_mfdgp(x, jnp.asarray(rng.normal(size=(n, 1))), fid, "obj1")
+    checkpoint.save_fitter(str(tmp_path / "ckh"), fitter)
+    restored = checkpoint.restore_fitter(str(tmp_path / "ckh"))
+
+    assert restored.lr_1 == 0.007 and restored.lr_2 == 0.0004
+    assert restored.num_epochs_1 == 3 and restored.num_epochs_2 == 4
+    assert restored.pareto_set_size == 7 and restored.opt_grid_size == 33
+    assert restored.eps == 1e-7
+    assert restored.polish == "device"
+    assert restored.whitened is True
+    assert restored.type_lengthscale == TL.ONES
+    # and it actually trains with that schedule (3+4 epochs, no patching)
+    restored.train_mfdgps()
+    assert restored.models_uncond_trained
+
+
 def test_restored_fitter_can_continue_pipeline(small_fitter, tmp_path):
     fitter = small_fitter
     fitter.train_mfdgps()

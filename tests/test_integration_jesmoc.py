@@ -170,6 +170,42 @@ def test_bo_loop_one_iteration(tmp_path):
     assert float(np.loadtxt(tmp_path / "hypervolume_solution.txt")) == hv_opt
 
 
+def test_bo_loop_whitened_end_to_end(tmp_path):
+    """BOConfig.whitened threads the whitened inducing parameterization
+    (the BASELINE north-star redesign) through the full campaign path:
+    training, Pareto sampling, conditioning, acquisition — no NaNs, valid
+    candidate (VERDICT r2 item 1)."""
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    def make(shift):
+        return [
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2 + 0.3),
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2),
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make(0.25)),
+        Blackbox("obj2", make(0.75)),
+        Blackbox("con1", [lambda xs: 0.9 - np.atleast_2d(xs)[:, 1],
+                          lambda xs: 0.9 - np.atleast_2d(xs)[:, 1]],
+                 is_constraint=True, threshold=0.0),
+    ]
+    rng = np.random.default_rng(5)
+    x_init = rng.uniform(size=(12, 2))
+    fid_init = np.concatenate([np.zeros(8), np.ones(4)]).astype(int)
+    config = BOConfig(
+        num_bo_iterations=1, num_epochs_1=5, num_epochs_2=8,
+        opt_grid_size=25, pareto_set_size=6, seed=1, whitened=True,
+        log_dir=str(tmp_path),
+    )
+    state = run_bo_loop(blackboxes, x_init, fid_init, config)
+    assert state.x.shape[0] == 13
+    assert np.all(np.isfinite(state.x[-1]))
+    assert np.isfinite(state.hypervolumes[-1])
+
+
 def test_bo_loop_q_batch(tmp_path):
     """q>1: each iteration evaluates q distinct points at one fidelity
     (greedy local-penalization batch, BASELINE config #5), and resume

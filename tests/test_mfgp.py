@@ -72,6 +72,30 @@ def test_mfgp_lin_fit_and_mean_function():
     np.testing.assert_allclose(grads[:, 0], fd, rtol=1e-3, atol=1e-5)
 
 
+def test_mfgp_batched_inputs_match_per_row():
+    """(b, q, d) batched predict equals flattened per-row predict with q > 1
+    (the reference's MFKernel_lin expand semantics, mfgp_lin.py:131-145,
+    186-189; VERDICT r2 item 6 — round 2 silently squeezed to q=1)."""
+    xf, y = _mf_data(seed=8)
+    rng = np.random.default_rng(9)
+    b, q, d = 4, 3, 2
+    xb = jnp.asarray(rng.uniform(size=(b, q, d)))
+
+    for model, mod in [
+        (G.fit_mfgp(G.init_mfgp(xf, y, 2), num_iters=30), G),
+        (GL.fit_mfgp_lin(GL.init_mfgp_lin(xf, y, 2), num_iters=30), GL),
+    ]:
+        mean_b, var_b = mod.predict(model, xb, 1)
+        assert mean_b.shape == (b, q) and var_b.shape == (b, q)
+        mean_f, var_f = mod.predict(model, xb.reshape(b * q, d), 1)
+        np.testing.assert_allclose(
+            np.asarray(mean_b).ravel(), np.asarray(mean_f), rtol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(var_b).ravel(), np.asarray(var_f), rtol=1e-10
+        )
+
+
 def test_exact_gp_interpolates():
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.uniform(size=(15, 2)))

@@ -46,3 +46,60 @@ def test_deterministic_given_key_and_probe():
     va = np.asarray(rff.eval_sample(a[1][0], probe[:8]))
     vb = np.asarray(rff.eval_sample(b[1][0], probe[:8]))
     np.testing.assert_allclose(va, vb)
+
+
+def test_default_probe_derives_from_key():
+    """With no probe, the WHOLE problem is a pure function of the jax key —
+    one seeded stream, immune to global numpy RNG state (VERDICT r2 item 10;
+    round-2 drew the probe from np.random's global state)."""
+    grid = np.random.default_rng(9).uniform(size=(32, 2))
+    np.random.seed(111)
+    a = sample_problem(jax.random.key(3), d=2, num_constraints=1)
+    np.random.seed(222)  # different global numpy state must not matter
+    b = sample_problem(jax.random.key(3), d=2, num_constraints=1)
+    for sa, sb in zip(a[0] + a[1], b[0] + b[1]):
+        np.testing.assert_array_equal(
+            np.asarray(rff.eval_sample(sa, grid)),
+            np.asarray(rff.eval_sample(sb, grid)),
+        )
+
+
+def test_two_identical_campaigns_evaluate_identical_points(tmp_path):
+    """End-to-end reproducibility: two runs from the same BOConfig.seed and
+    the same problem key evaluate byte-identical points (VERDICT r2 item 10
+    'Done' criterion)."""
+    import jax.numpy as jnp
+
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    objs, cons = sample_problem(jax.random.key(2), d=2, num_constraints=1)
+
+    def make_fns(sample):
+        return [
+            lambda xs, s=sample, l=level: np.asarray(
+                rff.eval_sample(s, jnp.asarray(np.atleast_2d(xs)), layer=l)
+            )
+            for level in range(2)
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make_fns(objs[0])),
+        Blackbox("obj2", make_fns(objs[1])),
+        Blackbox("con1", make_fns(cons[0]), is_constraint=True, threshold=0.0),
+    ]
+    x_init = np.asarray(
+        jax.random.uniform(jax.random.key(10), (12, 2)), dtype=float
+    )
+    fid_init = np.concatenate([np.zeros(8), np.ones(4)]).astype(int)
+
+    points = []
+    for run in range(2):
+        config = BOConfig(
+            num_bo_iterations=2, num_epochs_1=4, num_epochs_2=6,
+            opt_grid_size=20, pareto_set_size=5, seed=3,
+            log_dir=str(tmp_path / f"run{run}"),
+        )
+        state = run_bo_loop(blackboxes, x_init, fid_init, config)
+        points.append((state.x.copy(), state.fidelities.copy()))
+    np.testing.assert_array_equal(points[0][0], points[1][0])
+    np.testing.assert_array_equal(points[0][1], points[1][1])
