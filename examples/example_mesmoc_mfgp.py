@@ -2,9 +2,11 @@
 
 The reference ships MESMOC_MFGP (acquisition_functions/MESMOC_MFGP.py) but no
 example script for it; this demo exercises the full MFGP + MESMOC path on the
-Branin-Currin pair with a feasibility constraint.
+Branin-Currin pair with a feasibility constraint, logging the observed
+hypervolume of feasible high-fidelity evaluations per iteration
+(observed_hypervolumes.txt, same convention as the JESMOC loop).
 
-Run: python examples/example_mesmoc_mfgp.py [--iters N]
+Run: python examples/example_mesmoc_mfgp.py [--iters N] [--log-dir DIR]
 """
 
 import argparse
@@ -19,6 +21,7 @@ import numpy as np
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--log-dir", default=None)
     args = parser.parse_args()
 
     import jax
@@ -46,10 +49,30 @@ def main():
 
     fns = {"obj1": obj1, "obj2": obj2, "con1": con1}
 
+    from mobocmf_tpu.util.hypervolume import hypervolume
+
     n0, n1 = 16, 8
     x = np.vstack([rng.uniform(size=(n0, 2)), rng.uniform(size=(n1, 2))])
     fid = np.concatenate([np.zeros(n0), np.ones(n1)]).astype(int)
 
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+
+    def observed_hv(x, fid):
+        """HV of feasible highest-fidelity observations (same convention as
+        bo/loop._observed_hypervolume)."""
+        top = fid == 1
+        if not top.any():
+            return 0.0
+        xs = x[top]
+        feas = fns["con1"](xs, 1) >= 0.0
+        if not feas.any():
+            return 0.0
+        vals = np.stack([obj1(xs[feas], 1), obj2(xs[feas], 1)], axis=1)
+        ref = np.array([10.0, 10.0])
+        return hypervolume(vals, ref)
+
+    hvs = []
     for it in range(args.iters):
         xf = jnp.asarray(np.concatenate([x, fid[:, None]], axis=1))
         models, best = {}, {}
@@ -77,9 +100,20 @@ def main():
         x = np.vstack([x, np.asarray(x_next)[None]])
         fid = np.concatenate([fid, [f_next]])
 
+        hv = observed_hv(x, fid)
+        hvs.append(hv)
+        if args.log_dir:
+            with open(os.path.join(args.log_dir, "observed_hypervolumes.txt"), "a") as fh:
+                fh.write(f"{hv}\n")
+            with open(os.path.join(args.log_dir, "points_evaluated.txt"), "a") as fh:
+                fh.write(" ".join(str(v) for v in np.asarray(x_next)) + "\n")
+            with open(os.path.join(args.log_dir, "fidelities_evaluated.txt"), "a") as fh:
+                fh.write(f"{f_next}\n")
+
     top = fid == 1
     feas = np.array([fns["con1"](x[i : i + 1], 1)[0] for i in range(len(x))]) >= 0
     print(f"final: {len(x)} evaluations, {int((top & feas).sum())} feasible high-fidelity")
+    print(f"observed HV trajectory: {[round(h, 4) for h in hvs]}")
 
 
 if __name__ == "__main__":

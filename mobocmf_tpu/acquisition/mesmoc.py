@@ -51,10 +51,12 @@ def _objective_entropy(model: G.MFGPModel, best_value: Array, fidelity: int, x: 
 
 
 def _constraint_prob(model: G.MFGPModel, threshold: Array, fidelity: int, x: Array) -> Array:
+    """1 - Phi((t - mu)/sigma). The reference's constraint branch uses the
+    UNCLAMPED cdf (MESMOC_MFGP.py:71 recomputes normal.cdf, not the clamped
+    cdf_mvs from :53), so deeply infeasible points return exactly 0."""
     mean, var = G.predict(model, x, fidelity)
     g = (threshold - mean) / jnp.sqrt(var)
-    cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
-    return 1.0 - cdf
+    return 1.0 - norm.cdf(g)
 
 
 @partial(jax.jit, static_argnames=("fidelity", "is_constraint"))
@@ -211,7 +213,8 @@ class MESMOC_MFGP:
             weighted = float(value) / self.costs_blackboxes[fidelity]["total"]
             if best_weighted is None or weighted > best_weighted:
                 best_weighted, best_x, best_fid = weighted, x_f, fidelity
-        assert best_x is not None, "no objectives registered at any fidelity"
+        if best_x is None:
+            raise ValueError("no objectives registered at any fidelity")
         if verbose:
             print(
                 f"Iter: {iteration} Acquisition: "
