@@ -18,6 +18,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
   reference cost: it excludes gpytorch dispatch overhead, RFF sampling, the
   1000*d^2-point MOOP grid + SLSQP polish, and botorch's multi-start L-BFGS
   acquisition optimization. The true speedup is higher than reported.
+- MATCHED m (round-3 fix of VERDICT r2 item 2): both sides run m = 128.
+  The torch baseline trains on N_DATA = 128 rows (inducing = all training
+  inputs, reference mfdgp.py:290-317, so every step factorizes a 128x128
+  Gram); the benched BO iteration starts from 120 initial points, which the
+  shape bucketing (fit/bucketing.py) pads to the SAME 128-row/128-inducing
+  bucket for both measured iterations. Round 2 divided a m=128 torch rate by
+  a m=16 TPU iteration; this configuration divides matched quantities.
 
 vs_baseline = estimated_torch_cpu_iteration_seconds / measured_tpu_iteration_seconds.
 
@@ -257,9 +264,13 @@ def bench_bo_iteration():
         Blackbox("con1", make_fns(samples[2]), is_constraint=True, threshold=0.0),
         Blackbox("con2", make_fns(samples[3]), is_constraint=True, threshold=0.0),
     ]
+    # 120 initial points (2:1 low:high like the reference toy:100-103) pad to
+    # the 128 bucket -> the measured iterations run m = 128 inducing, matching
+    # the torch baseline's N_DATA = 128 per-step cost (m-matched denominator)
     rng = np.random.default_rng(0)
-    x_init = rng.uniform(size=(15, D)).astype(np.float32)
-    fid_init = np.concatenate([np.zeros(10), np.ones(5)]).astype(int)
+    n_low, n_high = 80, 40
+    x_init = rng.uniform(size=(n_low + n_high, D)).astype(np.float32)
+    fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
 
     fast = "--fast" in sys.argv  # plumbing smoke-test only, NOT a benchmark
     with tempfile.TemporaryDirectory() as tmp:
@@ -290,7 +301,7 @@ def main():
         json.dumps(
             {
                 "metric": "BO iteration wall-clock, full JESMOCMF settings "
-                "(20k uncond + 15k cond + acq opt)",
+                "(20k uncond + 15k cond + acq opt, m=128 both sides)",
                 "value": round(tpu_iter_s, 2),
                 "unit": "s/iteration (lower is better)",
                 "vs_baseline": round(torch_iter_s / tpu_iter_s, 2),

@@ -32,6 +32,14 @@ def main():
     parser.add_argument("--q", type=int, default=16)
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--log-dir", default="batch10d_logs")
+    parser.add_argument(
+        "--track-recommendation", action="store_true",
+        help="per-iteration model recommendation scored on the true "
+        "functions (6-tuple hypervolumes.txt, reference toy:533-618) — the "
+        "optimization-progress metric; observed HV only moves on feasible "
+        "top-fidelity evaluations, which the cost-normalized fidelity choice "
+        "may legitimately defer for many iterations",
+    )
     args = parser.parse_args()
 
     import jax
@@ -62,12 +70,13 @@ def main():
     ]
 
     n_low, n_high = 30, 10
-    x_init = np.random.uniform(size=(n_low + n_high, D))
+    x_init = np.random.default_rng(SEED).uniform(size=(n_low + n_high, D))
     fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
 
     common = dict(
         num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
         q=args.q, pad_data=True,
+        track_recommendation=args.track_recommendation,
     )
     if args.fast:
         config = BOConfig(

@@ -32,11 +32,21 @@ NUM_OBJ = 4
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--iters", type=int, default=1)
-    parser.add_argument("--n-init", type=int, default=2048)
+    parser.add_argument("--iters", type=int, default=3)
+    # 2040 initial points pad to the 2048 bucket (fit/bucketing.py), leaving
+    # headroom so a multi-iteration campaign trains m = 2048 inducing
+    # throughout with zero bucket-boundary recompiles (starting at exactly
+    # 2048 crosses into the next bucket on iteration 1)
+    parser.add_argument("--n-init", type=int, default=2040)
     parser.add_argument("--full-epochs", action="store_true")
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--log-dir", default="dtlz2_2048_logs")
+    parser.add_argument(
+        "--track-recommendation", action="store_true",
+        help="per-iteration model recommendation scored on the true "
+        "functions (6-tuple hypervolumes.txt) — the optimization-progress "
+        "metric",
+    )
     args = parser.parse_args()
 
     from mobocmf_tpu.util.cache import enable_compilation_cache
@@ -72,7 +82,7 @@ def main():
     n = args.n_init
     n0, n1 = n // 2, n // 4
     n2 = n - n0 - n1
-    x_init = np.random.uniform(size=(n, D))
+    x_init = np.random.default_rng(SEED).uniform(size=(n, D))
     fid_init = np.concatenate(
         [np.zeros(n0), np.ones(n1), np.full(n2, 2)]
     ).astype(int)
@@ -80,6 +90,7 @@ def main():
     common = dict(
         num_fidelities=3, num_bo_iterations=args.iters, seed=SEED,
         log_dir=args.log_dir,
+        track_recommendation=args.track_recommendation,
         # full batch (batch_size=None): the m=2048 inducing Cholesky is paid
         # once per optimizer step either way, so minibatching only multiplies
         # factorizations per epoch
