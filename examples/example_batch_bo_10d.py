@@ -33,6 +33,12 @@ def main():
     parser.add_argument("--fast", action="store_true")
     parser.add_argument("--log-dir", default="batch10d_logs")
     parser.add_argument(
+        "--eval-highest-fidelity", action="store_true",
+        help="always evaluate the selected batch at the top fidelity "
+        "(reference eval_highest_fidelity) — makes the observed-HV "
+        "trajectory move every iteration",
+    )
+    parser.add_argument(
         "--track-recommendation", action="store_true",
         help="per-iteration model recommendation scored on the true "
         "functions (6-tuple hypervolumes.txt, reference toy:533-618) — the "
@@ -77,6 +83,7 @@ def main():
         num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
         q=args.q, pad_data=True,
         track_recommendation=args.track_recommendation,
+        eval_highest_fidelity=args.eval_highest_fidelity,
     )
     if args.fast:
         config = BOConfig(
