@@ -286,7 +286,39 @@ def bench_bo_iteration():
     return warm
 
 
+def _device_reachable(timeout_s: int = 600) -> bool:
+    """Bounded probe of the default JAX backend in a subprocess.
+
+    The axon TPU tunnel, when down, HANGS the first device op forever (no
+    error) — a driver-run bench would block indefinitely. Probe in a child
+    process with a hard timeout so an outage turns into a fast, explicit
+    failure instead. 600 s covers a cold claim + the trivial compile."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp; jnp.ones((4, 4)).block_until_ready()",
+            ],
+            timeout=timeout_s,
+            check=True,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        log(
+            "FATAL: default JAX backend unreachable (TPU tunnel down?) — "
+            "aborting instead of hanging; no measurement taken"
+        )
+        sys.exit(2)
     torch_sps = bench_torch()
     jax_sps = bench_jax()
     log(f"per-step ratio (round-1 metric): {jax_sps / torch_sps:.1f}x")

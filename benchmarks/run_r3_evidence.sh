@@ -50,4 +50,12 @@ run dtlz2 12000 python -u examples/example_dtlz2_2048.py \
   --iters 3 --track-recommendation \
   --log-dir benchmarks/evidence/dtlz2_2048_r3
 
+# post-Cholesky-fix whitened re-run: same settings as toy2d_whitened_r3, so
+# iteration/phase seconds isolate the safe_cholesky custom_vmap speedup
+run whitened_fastchol 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
+  --iters 60 --whitened --track-recommendation \
+  --log-dir benchmarks/evidence/toy2d_whitened_r3_fastchol
+
+run bench 7200 python -u bench.py
+
 status "queue done"

@@ -171,6 +171,22 @@ def train_phase_carry(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    full_batch = num_batches == 1 and padded == n
+
+    def epoch_step_full(carry, key_e):
+        # Full-batch epoch: the minibatch sum is order-invariant, so the
+        # reference DataLoader's shuffle is a no-op — skip the per-epoch
+        # permutation (threefry + argsort on device) and the row gathers.
+        # RNG stream layout matches epoch_step (same split, same eps draws).
+        p, opt_state = carry
+        _, keps = jax.random.split(key_e)
+        eps1 = M.sample_eps(keps, config, n, x.dtype)
+        (loss, kl), grads = grad_fn(p, x, y, fid, row_weights, eps1)
+        grads = jax.tree.map(lambda g, m: g * m, grads, mask)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return (p, opt_state), EpochLog(loss=loss, kl=kl)
+
     def epoch_step(carry, key_e):
         p, opt_state = carry
         kperm, keps = jax.random.split(key_e)
@@ -204,7 +220,9 @@ def train_phase_carry(
     if opt_state is None:
         opt_state = opt.init(params)
     keys = jax.random.split(key, num_epochs)
-    (params, opt_state), logs = jax.lax.scan(epoch_step, (params, opt_state), keys)
+    (params, opt_state), logs = jax.lax.scan(
+        epoch_step_full if full_batch else epoch_step, (params, opt_state), keys
+    )
     return params, opt_state, logs
 
 

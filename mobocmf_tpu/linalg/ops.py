@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.linalg.chol import cholesky
@@ -30,36 +31,75 @@ def _chol_pullback(l: Array, l_bar: Array) -> Array:
     return 0.5 * (c + c.T)
 
 
+def _attempt(k: Array, j) -> Array:
+    """chol(k + j*I) with j a scalar or an array aligned to k's batch dims."""
+    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
+    jj = jnp.asarray(j, dtype=k.dtype)
+    if jj.ndim:
+        jj = jj.reshape(jj.shape + (1, 1))
+    return cholesky(k + jj * eye)
+
+
+def _ok_elem(l: Array) -> Array:
+    """Per-matrix finiteness of the factor's diagonal, shape l.shape[:-2]."""
+    return jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1)
+
+
+def _rescue(k: Array, j0, ok0: Array) -> Array:
+    """Per-element jitter escalation 1x -> 100x -> 10000x (rare path).
+
+    Elements that already factorized keep their jitter (and recompute the
+    same factor); failed elements escalate independently — this only runs
+    when at least one element of the batch failed."""
+    j1 = jnp.where(ok0, j0, jnp.asarray(j0) * 100.0)
+    l1 = _attempt(k, j1)
+    j2 = jnp.where(_ok_elem(l1), j1, j1 * 100.0)
+    return _attempt(k, j2)
+
+
+@custom_vmap
+def _chol_escalate(k: Array, jitter: Array) -> Array:
+    # Happy path costs exactly ONE factorization: the predicate reduces over
+    # ALL batch dims to a scalar, so lax.cond stays a real branch.
+    l0 = _attempt(k, jitter)
+    ok0 = _ok_elem(l0)
+    return jax.lax.cond(
+        jnp.all(ok0),
+        lambda _: l0,
+        lambda _: _rescue(k, jitter, ok0),
+        None,
+    )
+
+
+@_chol_escalate.def_vmap
+def _chol_escalate_vmap(axis_size, in_batched, k, jitter):
+    # A naively vmapped lax.cond lowers to select_n with BOTH branches
+    # executed, so every training step of a stacked/vmapped model would pay
+    # the escalation factorizations unconditionally (measured: 3 Choleskys
+    # per call instead of 1). This rule re-enters _chol_escalate with the
+    # batch axis as an ordinary leading dim: the body is rank-polymorphic and
+    # its scalar any-element-failed predicate keeps the cond a true branch.
+    # Nested vmaps recurse through this same rule, collapsing every batch
+    # level into leading dims of one unbatched call.
+    k_b, j_b = in_batched
+    if not k_b:
+        k = jnp.broadcast_to(k[None], (axis_size,) + k.shape)
+    if j_b and jitter.ndim:
+        # align a batched jitter against k's remaining leading dims
+        jitter = jitter.reshape(jitter.shape + (1,) * (k.ndim - 2 - jitter.ndim))
+    return _chol_escalate(k, jitter), True
+
+
 @jax.custom_vjp
 def _safe_cholesky_f32(k: Array, jitter: Array) -> Array:
-    return _safe_cholesky_f32_fwd(k, jitter)[0]
+    return _chol_escalate(k, jitter)
 
 
 def _safe_cholesky_f32_fwd(k: Array, jitter: Array):
-    eye = jnp.eye(k.shape[-1], dtype=k.dtype)
-
-    def attempt(j):
-        return cholesky(k + j * eye)
-
-    def ok(l):
-        return jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)))
-
-    # escalate 1x -> 100x -> 10000x; the backward pass is custom (defined on
-    # the final finite factor only), so NaN factors from failed attempts can
-    # never poison gradients and no stop-gradient probing is needed — the
-    # common case costs exactly ONE factorization.
-    l0 = attempt(jitter)
-    l = jax.lax.cond(
-        ok(l0),
-        lambda _: l0,
-        lambda _: jax.lax.cond(
-            ok(attempt(jitter * 100.0)),
-            lambda __: attempt(jitter * 100.0),
-            lambda __: attempt(jitter * 10000.0),
-            None,
-        ),
-        None,
-    )
+    # The backward pass is custom (defined on the final finite factor only),
+    # so NaN factors from failed attempts can never poison gradients and no
+    # stop-gradient probing is needed.
+    l = _chol_escalate(k, jitter)
     return l, l
 
 

@@ -382,15 +382,16 @@ def _init_mfdgp_impl(
 
 
 class LayerState(NamedTuple):
-    """Per-layer cached inducing state for one forward pass."""
+    """Per-layer cached inducing state for one forward pass.
+
+    w_mean/w_ls are the solved variational quantities (svgp.solve_variational):
+    L^{-1} m and L^{-1} L_S unwhitened, m_w and L_S whitened — hoisted here so
+    the predictive and the KL share the x-independent triangular solves."""
 
     z: Array  # (M, d) or (M, d+1)
     lk: Array  # chol(Kzz + jitter I)
-
-
-def _cho_solve_vec(lk: Array, b: Array) -> Array:
-    y = solve_triangular(lk, b[:, None], lower=True)
-    return solve_triangular(lk.T, y, lower=False)[:, 0]
+    w_mean: Array  # (M,)
+    w_ls: Array  # (M, M)
 
 
 def compute_layer_states(
@@ -420,7 +421,8 @@ def compute_layer_states(
                 last_col = chain_mean
             z = jnp.concatenate([z_x, last_col[:, None]], axis=1)
         lk = safe_cholesky(gram(lp.kernel, z, z), config.jitter)
-        states.append(LayerState(z=z, lk=lk))
+        w_mean, w_ls = svgp.solve_variational(lp.variational, lk, config.whitened)
+        states.append(LayerState(z=z, lk=lk, w_mean=w_mean, w_ls=w_ls))
         if ell + 1 < config.num_fidelities and not config.only_hf:
             m = lp.variational.mean
             if config.whitened:
@@ -428,7 +430,10 @@ def compute_layer_states(
                 lt_inv_m = solve_triangular(lk.T, m[:, None], lower=False)[:, 0]
                 chain_mean = lk @ m - config.jitter * lt_inv_m
             else:
-                chain_mean = m - config.jitter * _cho_solve_vec(lk, m)
+                # m - jitter * Kzz^{-1} m, reusing w_mean = L^{-1} m
+                chain_mean = m - config.jitter * solve_triangular(
+                    lk.T, w_mean[:, None], lower=False
+                )[:, 0]
     return states
 
 
@@ -461,9 +466,8 @@ def forward(
         else:
             prev = jnp.zeros_like(f_prev) if config.only_hf else f_prev
             x_in = jnp.concatenate([x, prev[:, None]], axis=1)
-        predict = svgp.predict_diag_whitened if config.whitened else svgp.predict_diag
-        mu, var, _ = predict(
-            gram, diag, lp.kernel, lp.variational, st.z, x_in, config.jitter, lk=st.lk
+        mu, var = svgp.predict_diag_state(
+            gram, diag, lp.kernel, st.z, x_in, st.lk, st.w_mean, st.w_ls
         )
         outputs.append((mu, var))
         if ell + 1 < num_layers:
@@ -481,15 +485,11 @@ def kl_all_layers(
         states = compute_layer_states(params, consts, config)
     total = jnp.asarray(0.0, dtype=consts.z_x[0].dtype)
     for ell in range(config.num_fidelities):
-        gram, _ = _layer_fns(ell, config.only_hf)
         lp = params.layers[ell]
-        if config.whitened:
-            total = total + svgp.kl_divergence_whitened(lp.variational)
-        else:
-            total = total + svgp.kl_divergence(
-                gram, lp.kernel, lp.variational, states[ell].z, config.jitter,
-                lk=states[ell].lk,
-            )
+        st = states[ell]
+        total = total + svgp.kl_state(
+            lp.variational, st.lk, st.w_mean, st.w_ls, config.whitened
+        )
     return total
 
 

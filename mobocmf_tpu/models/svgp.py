@@ -169,6 +169,78 @@ def kl_divergence(
 
 
 # ---------------------------------------------------------------------------
+# State-hoisted variant: predictive/KL from precomputed solved variational
+# quantities. With w_mean = L^{-1} m and w_ls = L^{-1} L_S (unwhitened) or
+# w_mean = m_w and w_ls = L_S (whitened), the predictive is IDENTICAL in both
+# parameterizations:
+#
+#     w   = L^{-1} Kzx
+#     mu  = w^T w_mean
+#     var = diag(Kxx) - colsum(w^2) + colsum((w_ls^T w)^2)
+#
+# and the KL differs only by the logdet Kzz term (present unwhitened, absent
+# whitened). Hoisting (w_mean, w_ls) into the per-layer state shares the
+# x-independent triangular solves between the predictive and the KL and
+# across every evaluation against the same inducing state — per training
+# step this removes ~2 solves/layer plus their transposed twins in the VJP.
+# ---------------------------------------------------------------------------
+
+
+def solve_variational(
+    var: SVGPVariational, lk: Array, whitened: bool
+) -> Tuple[Array, Array]:
+    """(w_mean, w_ls) for the state-hoisted predictive/KL.
+
+    Unwhitened: one triangular solve with [m | L_S] concatenated — columns of
+    a multi-RHS solve are independent, so the result equals the two separate
+    solves the predictive and KL previously issued."""
+    ls = tril(var.chol_raw)
+    if whitened:
+        return var.mean, ls
+    sol = tri_solve_lower(lk, jnp.concatenate([var.mean[:, None], ls], axis=1))
+    return sol[:, 0], sol[:, 1:]
+
+
+def predict_diag_state(
+    kernel_gram: KernelGram,
+    kernel_diag: KernelDiag,
+    kparams: Dict,
+    z: Array,
+    x: Array,
+    lk: Array,
+    w_mean: Array,
+    w_ls: Array,
+) -> Tuple[Array, Array]:
+    """Marginal predictive q(f(x)) from a precomputed layer state.
+
+    Equals predict_diag (unwhitened state) / predict_diag_whitened (whitened
+    state); the per-x work is one triangular solve + two matmuls."""
+    kzx = kernel_gram(kparams, z, x)  # (M, N)
+    w = tri_solve_lower(lk, kzx)
+    mu = jnp.matmul(w.T, w_mean[:, None], precision=jax.lax.Precision.HIGHEST)[:, 0]
+    kxx = kernel_diag(kparams, x)
+    v1 = jnp.sum(w * w, axis=0)
+    b = jnp.matmul(w_ls.T, w, precision=jax.lax.Precision.HIGHEST)
+    v2 = jnp.sum(b * b, axis=0)
+    return mu, jnp.maximum(kxx - v1 + v2, 1e-12)
+
+
+def kl_state(
+    var: SVGPVariational, lk: Array, w_mean: Array, w_ls: Array, whitened: bool
+) -> Array:
+    """KL(q || prior) from the precomputed state; shared core, the unwhitened
+    prior N(0, Kzz + jitter I) adds logdet Kzz."""
+    trace_term = jnp.sum(w_ls * w_ls)
+    maha = jnp.sum(w_mean * w_mean)
+    logdet_s = logdet_from_chol(tril(var.chol_raw))
+    mdim = var.mean.shape[0]
+    core = trace_term + maha - mdim - logdet_s
+    if not whitened:
+        core = core + logdet_from_chol(lk)
+    return 0.5 * core
+
+
+# ---------------------------------------------------------------------------
 # Whitened variant (optional redesign; not used by the parity path)
 # ---------------------------------------------------------------------------
 

@@ -91,3 +91,52 @@ def test_safe_cholesky_f32_gradients_finite_under_escalation():
     val, g = jax.value_and_grad(loss)(jnp.asarray(k))
     assert np.isfinite(float(val))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_safe_cholesky_vmap_keeps_true_branch():
+    """Batched safe_cholesky must keep a real HLO conditional.
+
+    A naively vmapped lax.cond lowers to select_n and executes ALL escalation
+    attempts on every call — 3 Choleskys per kernel matrix per training step
+    of a stacked/vmapped model instead of 1 (measured on CPU HLO). The
+    custom_vmap rule reduces the failure predicate to a scalar so the
+    escalation stays a branch; this pins that property for vmap, vmap+grad
+    and nested vmap."""
+    from mobocmf_tpu.linalg.ops import safe_cholesky
+
+    def f(k):
+        return safe_cholesky(k, 1e-6)
+
+    k = jnp.asarray(np.stack([_spd(16, seed=s) for s in range(3)]))
+    txts = {
+        "vmap": jax.jit(jax.vmap(f)).lower(k).compile().as_text(),
+        "vmap_grad": jax.jit(
+            jax.grad(lambda kk: jnp.sum(jax.vmap(f)(kk)))
+        ).lower(k).compile().as_text(),
+        "nested_vmap": jax.jit(jax.vmap(jax.vmap(f)))
+        .lower(k[None].repeat(2, 0))
+        .compile()
+        .as_text(),
+    }
+    for name, txt in txts.items():
+        assert "conditional" in txt, f"{name}: escalation cond was flattened to select"
+
+
+def test_safe_cholesky_vmap_matches_per_element():
+    """Batched values/escalation equal per-element application."""
+    from mobocmf_tpu.linalg.ops import safe_cholesky
+
+    ks = np.stack([_spd(16, seed=s) for s in range(4)])
+    # make element 2 indefinite so the rescue path runs for the whole batch
+    w, v = np.linalg.eigh(ks[2])
+    w[0] = -1e-3
+    ks[2] = (v * w) @ v.T
+    ks = jnp.asarray(ks)
+
+    batched = jax.jit(jax.vmap(lambda k: safe_cholesky(k, 1e-6)))(ks)
+    single = [jax.jit(lambda k: safe_cholesky(k, 1e-6))(ks[i]) for i in range(4)]
+    assert bool(jnp.all(jnp.isfinite(batched)))
+    for i in range(4):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]), np.asarray(single[i]), rtol=1e-6, atol=1e-6
+        )

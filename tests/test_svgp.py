@@ -146,3 +146,37 @@ def test_dynamic_inducing_gradients_flow_to_previous_layer():
 
     g = jax.grad(layer1_kl)(model.params.layers[0].variational.mean)
     assert float(jnp.abs(g).max()) > 0.0, "no gradient through dynamic inducing chain"
+
+
+def test_state_based_predictive_and_kl_match_direct():
+    """predict_diag_state / kl_state (the hoisted shared path used by
+    mfdgp.forward) must equal the direct per-parameterization functions."""
+    from mobocmf_tpu.linalg.ops import safe_cholesky
+
+    z, x, kp, var, _ = _setup()
+    jitter = 2e-6
+    lk = safe_cholesky(rbf.rbf_gram(kp, z, z), jitter)
+
+    # unwhitened
+    mu_u, v_u, _ = svgp.predict_diag(rbf.rbf_gram, rbf.rbf_diag, kp, var, z, x, jitter)
+    wm, wl = svgp.solve_variational(var, lk, whitened=False)
+    mu_s, v_s = svgp.predict_diag_state(rbf.rbf_gram, rbf.rbf_diag, kp, z, x, lk, wm, wl)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_u), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_u), rtol=1e-12, atol=1e-12)
+    kl_u = svgp.kl_divergence(rbf.rbf_gram, kp, var, z, jitter)
+    kl_s = svgp.kl_state(var, lk, wm, wl, whitened=False)
+    np.testing.assert_allclose(float(kl_s), float(kl_u), rtol=1e-12)
+
+    # whitened
+    mu_w, v_w, _ = svgp.predict_diag_whitened(
+        rbf.rbf_gram, rbf.rbf_diag, kp, var, z, x, jitter
+    )
+    wmw, wlw = svgp.solve_variational(var, lk, whitened=True)
+    mu_ws, v_ws = svgp.predict_diag_state(
+        rbf.rbf_gram, rbf.rbf_diag, kp, z, x, lk, wmw, wlw
+    )
+    np.testing.assert_allclose(np.asarray(mu_ws), np.asarray(mu_w), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(v_ws), np.asarray(v_w), rtol=1e-12, atol=1e-12)
+    kl_w = svgp.kl_divergence_whitened(var)
+    kl_ws = svgp.kl_state(var, lk, wmw, wlw, whitened=True)
+    np.testing.assert_allclose(float(kl_ws), float(kl_w), rtol=1e-12)
