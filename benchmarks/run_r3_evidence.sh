@@ -31,9 +31,21 @@ run() {
   status "$name rc=$?"
 }
 
+# Ordered by evidence value per hour in case the tunnel returns late in the
+# round: (1) the unwhitened comparison campaign (VERDICT item 1's other half,
+# resumes its pre-outage run), (2) the post-step-time-fix whitened re-run
+# (same settings as toy2d_whitened_r3, isolates the safe_cholesky
+# custom_vmap + state-hoisting + full-batch speedup), (3) the headline bench,
+# then the remaining scale/MESMOC campaigns.
 run unwhitened 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
   --iters 60 --track-recommendation \
   --log-dir benchmarks/evidence/toy2d_unwhitened_r3
+
+run whitened_fastchol 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
+  --iters 60 --whitened --track-recommendation \
+  --log-dir benchmarks/evidence/toy2d_whitened_r3_fastchol
+
+run bench 7200 python -u bench.py
 
 run mesmoc 1800 python -u examples/example_mesmoc_mfgp.py \
   --iters 12 --log-dir benchmarks/evidence/mesmoc_mfgp_r3
@@ -49,13 +61,5 @@ run q16 10800 python -u examples/example_batch_bo_10d.py \
 run dtlz2 12000 python -u examples/example_dtlz2_2048.py \
   --iters 3 --track-recommendation \
   --log-dir benchmarks/evidence/dtlz2_2048_r3
-
-# post-Cholesky-fix whitened re-run: same settings as toy2d_whitened_r3, so
-# iteration/phase seconds isolate the safe_cholesky custom_vmap speedup
-run whitened_fastchol 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
-  --iters 60 --whitened --track-recommendation \
-  --log-dir benchmarks/evidence/toy2d_whitened_r3_fastchol
-
-run bench 7200 python -u bench.py
 
 status "queue done"
