@@ -86,9 +86,21 @@ class ConditionedData(NamedTuple):
     row_weights: Array = None  # (N,) 1.0 real / 0.0 padded rows (bucketing)
 
 
-def _model_top_moments(params, consts, config, x, eps):
-    outs = M.forward(params, consts, config, x, eps)
+def _model_top_moments(params, consts, config, x, eps, states=None):
+    outs = M.forward(params, consts, config, x, eps, states=states)
     return outs[config.num_fidelities - 1]
+
+
+def _states_stacked(params, consts, config):
+    """Per-model layer states, vmapped over the stacked leading axis. The
+    conditioned loss evaluates three terms against each model (batch ELBO,
+    Pareto-front/theta term, omega moments); computing the inducing Cholesky
+    chain once here instead of once per term cuts the per-step
+    factorizations 3x."""
+    return jax.vmap(
+        lambda p, c: M.compute_layer_states(p, c, config),
+        in_axes=(0, trainer.CONSTS_AXES),
+    )(params, consts)
 
 
 def conditioned_loss(
@@ -123,11 +135,36 @@ def conditioned_loss(
 
     loss = jnp.asarray(0.0, dtype=dtype)
 
+    # factor every model's inducing chain ONCE; all three loss terms reuse it.
+    # Objectives + constraints are concatenated into ONE stacked computation:
+    # a single batched Cholesky per layer (one expander loop on TPU) instead
+    # of two separate obj/con programs. z_x is shared across all blackboxes
+    # (they observe the same x; trainer.stack_models uses models[0].consts).
+    if num_con > 0:
+        all_p = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), obj_params, con_params
+        )
+        all_c = obj_consts._replace(
+            acq_eps=jnp.concatenate([obj_consts.acq_eps, con_consts.acq_eps], axis=0),
+            noise_lower=jnp.concatenate(
+                [obj_consts.noise_lower, con_consts.noise_lower], axis=0
+            ),
+            noise_upper=jnp.concatenate(
+                [obj_consts.noise_upper, con_consts.noise_upper], axis=0
+            ),
+        )
+        states_all = _states_stacked(all_p, all_c, config)
+        states_o = jax.tree.map(lambda a: a[:num_obj], states_all)
+        states_c = jax.tree.map(lambda a: a[num_obj:], states_all)
+    else:
+        states_o = _states_stacked(obj_params, obj_consts, config)
+        states_c = None
+
     # ---- objectives ----
-    def obj_term(params_i, consts_i, y_i, front_i, eps_b, eps_p):
+    def obj_term(params_i, consts_i, y_i, front_i, eps_b, eps_p, st_i):
         elbo, _ = elbo_terms(
             params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
-            weights=batch_w,
+            weights=batch_w, states=st_i,
         )
         # guard: with pad_data and batch_size < N a minibatch can sample only
         # padded rows (all weights 0); elbo is exactly 0 there, so clamping
@@ -138,50 +175,56 @@ def conditioned_loss(
         # pareto-front data term at top fidelity (no KL), masked rows weighted 0
         dt = elbo_data_term(
             params_i, consts_i, config, data.pareto_set, front_i, top_fid, eps_p,
-            weights=data.front_mask.astype(dtype),
+            weights=data.front_mask.astype(dtype), states=st_i,
         )
         return l - dt
 
     eps_b_o = jax.random.normal(keys[0], (num_obj, fm1, b), dtype=dtype)
     eps_p_o = jax.random.normal(keys[1], (num_obj, fm1, p), dtype=dtype)
-    obj_losses = jax.vmap(obj_term, in_axes=(0, trainer.CONSTS_AXES, 0, 1, 0, 0))(
-        obj_params, obj_consts, data.ys_obj, data.pareto_front, eps_b_o, eps_p_o
+    obj_losses = jax.vmap(obj_term, in_axes=(0, trainer.CONSTS_AXES, 0, 1, 0, 0, 0))(
+        obj_params, obj_consts, data.ys_obj, data.pareto_front, eps_b_o, eps_p_o,
+        states_o,
     )
     loss = loss + jnp.sum(obj_losses)
 
     # ---- constraints ----
-    def con_term(params_i, consts_i, y_i, thr_i, eps_b, eps_p):
+    def con_term(params_i, consts_i, y_i, thr_i, eps_b, eps_p, st_i):
         elbo, _ = elbo_terms(
             params_i, consts_i, config, xb, y_i[batch_idx], fb, eps_b, n_real,
-            weights=batch_w,
+            weights=batch_w, states=st_i,
         )
         # same all-padded-minibatch guard as obj_term
         batch_count = jnp.maximum(jnp.sum(batch_w), 1.0)
         l = -elbo / batch_count * n_real
-        mu, var = _model_top_moments(params_i, consts_i, config, data.pareto_set, eps_p)
+        mu, var = _model_top_moments(
+            params_i, consts_i, config, data.pareto_set, eps_p, states=st_i
+        )
         theta = loss_theta_factors(mu, var, thr_i, eps_const, data.front_mask)
         return l - theta
 
     if num_con > 0:
         eps_b_c = jax.random.normal(keys[2], (num_con, fm1, b), dtype=dtype)
         eps_p_c = jax.random.normal(keys[3], (num_con, fm1, p), dtype=dtype)
-        con_losses = jax.vmap(con_term, in_axes=(0, trainer.CONSTS_AXES, 0, 0, 0, 0))(
-            con_params, con_consts, data.ys_con, data.thresholds, eps_b_c, eps_p_c
+        con_losses = jax.vmap(
+            con_term, in_axes=(0, trainer.CONSTS_AXES, 0, 0, 0, 0, 0)
+        )(
+            con_params, con_consts, data.ys_con, data.thresholds, eps_b_c, eps_p_c,
+            states_c,
         )
         loss = loss + jnp.sum(con_losses)
 
     # ---- omega factors at x_tilde ----
     eps_t_o = jax.random.normal(keys[4], (num_obj, fm1, NUM_OMEGA_POINTS), dtype=dtype)
     fs_mean, fs_var = jax.vmap(
-        _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0)
-    )(obj_params, obj_consts, config, x_tilde, eps_t_o)
+        _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0, 0)
+    )(obj_params, obj_consts, config, x_tilde, eps_t_o, states_o)
     if num_con > 0:
         eps_t_c = jax.random.normal(
             keys[5], (num_con, fm1, NUM_OMEGA_POINTS), dtype=dtype
         )
         cs_mean, cs_var = jax.vmap(
-            _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0)
-        )(con_params, con_consts, config, x_tilde, eps_t_c)
+            _model_top_moments, in_axes=(0, trainer.CONSTS_AXES, None, None, 0, 0)
+        )(con_params, con_consts, config, x_tilde, eps_t_c, states_c)
     else:
         cs_mean = jnp.zeros((0, NUM_OMEGA_POINTS), dtype=dtype)
         cs_var = jnp.ones((0, NUM_OMEGA_POINTS), dtype=dtype)

@@ -54,9 +54,15 @@ def elbo_terms(
     eps: Array,
     num_data: int,
     weights: Optional[Array] = None,
+    states=None,
 ) -> Tuple[Array, Array]:
-    """Returns (elbo, scaled_kl) like VariationalELBOMF.forward (:24-51)."""
-    states = M.compute_layer_states(params, consts, config)
+    """Returns (elbo, scaled_kl) like VariationalELBOMF.forward (:24-51).
+
+    `states` (M.compute_layer_states output) lets callers evaluating several
+    terms against the same model — e.g. the conditioned loss's batch +
+    Pareto-front + omega terms — factor the inducing chain once."""
+    if states is None:
+        states = M.compute_layer_states(params, consts, config)
     outs = M.forward(params, consts, config, x, eps, states=states)
     y = y.reshape(-1)
     fid = fidelities.reshape(-1)
@@ -77,10 +83,11 @@ def elbo_data_term(
     fidelities: Array,
     eps: Array,
     weights: Optional[Array] = None,
+    states=None,
 ) -> Array:
     """Data term only (include_kl_term=False path, used by the conditioned
     trainer's pareto-front factors, blackbox_mfdgp_fitter.py:291-293)."""
-    outs = M.forward(params, consts, config, x, eps)
+    outs = M.forward(params, consts, config, x, eps, states=states)
     return _data_term(
         params, consts, config, outs, y.reshape(-1), fidelities.reshape(-1), weights
     )
