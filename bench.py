@@ -286,8 +286,9 @@ def bench_bo_iteration():
     return warm
 
 
-def _device_reachable(timeout_s: int = 600) -> bool:
-    """Bounded probe of the default JAX backend in a subprocess.
+def _device_reachable(timeout_s: int = 600):
+    """Bounded probe of the default JAX backend in a subprocess; returns None
+    when healthy, else a one-line failure description.
 
     The axon TPU tunnel, when down, HANGS the first device op forever (no
     error) — a driver-run bench would block indefinitely. Probe in a child
@@ -305,19 +306,22 @@ def _device_reachable(timeout_s: int = 600) -> bool:
             timeout=timeout_s,
             check=True,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
         )
-        return True
-    except Exception:
-        return False
+        return None
+    except subprocess.TimeoutExpired:
+        return "probe hung >%ds (tunnel outage?)" % timeout_s
+    except subprocess.CalledProcessError as e:
+        # a CRASH is not an outage — surface the child's stderr so the
+        # operator debugs the real failure instead of chasing the tunnel
+        tail = (e.stderr or b"").decode(errors="replace").strip().splitlines()[-5:]
+        return "probe crashed rc=%d: %s" % (e.returncode, " | ".join(tail))
 
 
 def main():
-    if not _device_reachable():
-        log(
-            "FATAL: default JAX backend unreachable (TPU tunnel down?) — "
-            "aborting instead of hanging; no measurement taken"
-        )
+    err = _device_reachable()
+    if err is not None:
+        log(f"FATAL: device probe failed — {err}; aborting instead of hanging")
         sys.exit(2)
     torch_sps = bench_torch()
     jax_sps = bench_jax()

@@ -69,14 +69,8 @@ def info_gain(
     return 0.5 * jnp.clip(jnp.log(var_u) - jnp.log(var_c), min=0.0)
 
 
-def _stacked_states(s_p, s_c, config):
-    """Per-model layer states (inducing Cholesky chain), vmapped over the
-    stacked blackboxes. x-independent: compute ONCE per program and reuse for
-    every candidate evaluation inside the optimizer loop."""
-    return jax.vmap(
-        lambda p, c: M.compute_layer_states(p, c, config),
-        in_axes=(0, trainer.CONSTS_AXES),
-    )(s_p, s_c)
+# per-model layer states, shared helper with fit/conditioned.py
+_stacked_states = trainer.states_stacked
 
 
 def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x,

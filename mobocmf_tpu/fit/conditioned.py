@@ -91,16 +91,6 @@ def _model_top_moments(params, consts, config, x, eps, states=None):
     return outs[config.num_fidelities - 1]
 
 
-def _states_stacked(params, consts, config):
-    """Per-model layer states, vmapped over the stacked leading axis. The
-    conditioned loss evaluates three terms against each model (batch ELBO,
-    Pareto-front/theta term, omega moments); computing the inducing Cholesky
-    chain once here instead of once per term cuts the per-step
-    factorizations 3x."""
-    return jax.vmap(
-        lambda p, c: M.compute_layer_states(p, c, config),
-        in_axes=(0, trainer.CONSTS_AXES),
-    )(params, consts)
 
 
 def conditioned_loss(
@@ -138,9 +128,16 @@ def conditioned_loss(
     # factor every model's inducing chain ONCE; all three loss terms reuse it.
     # Objectives + constraints are concatenated into ONE stacked computation:
     # a single batched Cholesky per layer (one expander loop on TPU) instead
-    # of two separate obj/con programs. z_x is shared across all blackboxes
-    # (they observe the same x; trainer.stack_models uses models[0].consts).
+    # of two separate obj/con programs. This relies on obj/con sharing z_x —
+    # guaranteed by the coupled-evaluation contract (all blackboxes observe
+    # the same x, asserted by the fitter as in the reference
+    # blackbox_mfdgp_fitter.py:87-91); the shape check below catches callers
+    # wiring constraint models fit on different inducing inputs.
     if num_con > 0:
+        assert all(
+            zo.shape == zc.shape
+            for zo, zc in zip(obj_consts.z_x, con_consts.z_x)
+        ), "conditioned_loss requires obj/con models with shared inducing inputs"
         all_p = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=0), obj_params, con_params
         )
@@ -153,11 +150,11 @@ def conditioned_loss(
                 [obj_consts.noise_upper, con_consts.noise_upper], axis=0
             ),
         )
-        states_all = _states_stacked(all_p, all_c, config)
+        states_all = trainer.states_stacked(all_p, all_c, config)
         states_o = jax.tree.map(lambda a: a[:num_obj], states_all)
         states_c = jax.tree.map(lambda a: a[num_obj:], states_all)
     else:
-        states_o = _states_stacked(obj_params, obj_consts, config)
+        states_o = trainer.states_stacked(obj_params, obj_consts, config)
         states_c = None
 
     # ---- objectives ----

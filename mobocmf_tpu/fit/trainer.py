@@ -171,13 +171,17 @@ def train_phase_carry(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    full_batch = num_batches == 1 and padded == n
+    full_batch = num_batches == 1  # implies bsz == n == padded (_batch_plan)
 
     def epoch_step_full(carry, key_e):
-        # Full-batch epoch: the minibatch sum is order-invariant, so the
-        # reference DataLoader's shuffle is a no-op — skip the per-epoch
-        # permutation (threefry + argsort on device) and the row gathers.
-        # RNG stream layout matches epoch_step (same split, same eps draws).
+        # Full-batch epoch: every row is in the one batch, so the reference
+        # DataLoader's shuffle only permutes which propagation-eps draw lands
+        # on which row — an identically-distributed MC estimate of the same
+        # epoch sum. Skipping it avoids the per-epoch threefry + argsort and
+        # the row gathers; for a FIXED seed the eps-to-row pairing (hence the
+        # trajectory) differs from the shuffled path, but the estimator and
+        # the seeded-reproducibility contract (same code + seed -> same run)
+        # are unchanged.
         p, opt_state = carry
         _, keps = jax.random.split(key_e)
         eps1 = M.sample_eps(keps, config, n, x.dtype)
@@ -288,6 +292,18 @@ def train_mfdgp_two_phase(
 
 # consts vmap axes: z_x shared (None), per-model acq_eps / noise bounds mapped
 CONSTS_AXES = M.MFDGPConsts(z_x=None, acq_eps=0, noise_lower=0, noise_upper=0)
+
+
+def states_stacked(stacked_params, stacked_consts, config: M.MFDGPConfig):
+    """Per-model layer states (inducing Cholesky chain + solved variational
+    quantities), vmapped over the stacked-blackbox leading axis. x-independent:
+    callers evaluating several terms or many candidates against the same
+    models compute this ONCE and thread it through (acquisition/jesmoc.py,
+    fit/conditioned.py)."""
+    return jax.vmap(
+        lambda p, c: M.compute_layer_states(p, c, config),
+        in_axes=(0, CONSTS_AXES),
+    )(stacked_params, stacked_consts)
 
 
 @jax.jit

@@ -131,6 +131,6 @@ def test_inducing_dim_tp_matches_replicated():
     # rounding for leaves with near-zero second moments, so the per-param
     # tolerance is looser than the loss one (observed worst case ~5e-5
     # relative at ~1e-3 magnitude with the multi-RHS state solve partitioned
-    # over the mesh)
+    # over the mesh; bound = 2x that)
     for a, b in zip(jax.tree.leaves(new_p), jax.tree.leaves(new_p_sh)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-8)
