@@ -36,8 +36,10 @@ Array = jnp.ndarray
 CLAMP_LB = float(np.finfo(np.float32).eps)  # reference :19
 
 
-def _objective_entropy(model: G.MFGPModel, best_value: Array, fidelity: int, x: Array) -> Array:
-    mean, var = G.predict(model, x, fidelity)
+def _objective_entropy(
+    model: G.MFGPModel, best_value: Array, fidelity: int, x: Array, state=None
+) -> Array:
+    mean, var = G.predict(model, x, fidelity, state=state)
     std = jnp.sqrt(var)
     g = (best_value - mean) / std
     cdf = jnp.minimum(norm.cdf(g), 1.0 - CLAMP_LB)
@@ -50,11 +52,13 @@ def _objective_entropy(model: G.MFGPModel, best_value: Array, fidelity: int, x: 
     return jnp.clip(ent_uncond - ent_cond, min=0.0)
 
 
-def _constraint_prob(model: G.MFGPModel, threshold: Array, fidelity: int, x: Array) -> Array:
+def _constraint_prob(
+    model: G.MFGPModel, threshold: Array, fidelity: int, x: Array, state=None
+) -> Array:
     """1 - Phi((t - mu)/sigma). The reference's constraint branch uses the
     UNCLAMPED cdf (MESMOC_MFGP.py:71 recomputes normal.cdf, not the clamped
     cdf_mvs from :53), so deeply infeasible points return exactly 0."""
-    mean, var = G.predict(model, x, fidelity)
+    mean, var = G.predict(model, x, fidelity, state=state)
     g = (threshold - mean) / jnp.sqrt(var)
     return 1.0 - norm.cdf(g)
 
@@ -68,13 +72,18 @@ def mes_forward(
     return _objective_entropy(model, value, fidelity, x)
 
 
-def _coupled_mes(obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, x):
+def _coupled_mes(obj_models, best_values, con_models, thresholds, fidelity,
+                 top_fidelity, x, obj_states=None, con_states=None):
+    if obj_states is None:
+        obj_states = tuple(None for _ in obj_models)
+    if con_states is None:
+        con_states = tuple(None for _ in con_models)
     acq = jnp.zeros((x.shape[0],), dtype=x.dtype)
-    for model, best in zip(obj_models, best_values):
-        acq = acq + _objective_entropy(model, best, fidelity, x)
+    for model, best, st in zip(obj_models, best_values, obj_states):
+        acq = acq + _objective_entropy(model, best, fidelity, x, state=st)
     prob = jnp.ones((x.shape[0],), dtype=x.dtype)
-    for model, thr in zip(con_models, thresholds):
-        prob = prob * _constraint_prob(model, thr, top_fidelity, x)
+    for model, thr, st in zip(con_models, thresholds, con_states):
+        prob = prob * _constraint_prob(model, thr, top_fidelity, x, state=st)
     return acq * prob
 
 
@@ -103,10 +112,15 @@ def optimize_coupled_mes(
     maxiter: int = 200,
 ):
     dtype = obj_models[0].x_train.dtype
+    # factor every model's train Gram ONCE; the L-BFGS loop's hundreds of
+    # candidate evaluations reuse (l, alpha) instead of refactorizing N x N
+    obj_states = tuple(G.posterior_state(m) for m in obj_models)
+    con_states = tuple(G.posterior_state(m) for m in con_models)
 
     def acq(xx):
         return _coupled_mes(
-            obj_models, best_values, con_models, thresholds, fidelity, top_fidelity, xx
+            obj_models, best_values, con_models, thresholds, fidelity,
+            top_fidelity, xx, obj_states, con_states,
         )
 
     return optimize_acqf_box(

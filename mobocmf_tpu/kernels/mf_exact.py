@@ -83,6 +83,18 @@ def mf_kernel_gram(params: Dict, xf1: Array, xf2: Array) -> Array:
     return k_sig + min_fid * k_noi
 
 
+def mf_kernel_diag(params: Dict, xf: Array) -> Array:
+    """diag K([x,f], [x,f]) without the O(M^2) gram: an RBF at distance 0 is
+    exactly its outputscale, so diag = os_signal + fid * os_noise (the
+    reference evaluates the full gram and takes the diagonal,
+    mfgp.py:172-184; the analytic value avoids the expansion-trick rounding
+    on the diagonal as well)."""
+    fid = xf[:, -1]
+    os_sig = _OS_INTERVAL.forward(params["signal"]["raw_outputscale"])
+    os_noi = _OS_INTERVAL.forward(params["noise"]["raw_outputscale"])
+    return os_sig + fid * os_noi
+
+
 def init_mf_lin_kernel_params(init_lengthscale, input_dim_x: int, num_fidelities: int) -> Dict:
     ls = jnp.broadcast_to(jnp.asarray(init_lengthscale, dtype=jnp.result_type(float)), (input_dim_x,))
     return {

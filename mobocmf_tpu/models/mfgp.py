@@ -107,7 +107,31 @@ def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPMo
     return model._replace(params=params)
 
 
-def predict(model: MFGPModel, x: Array, fidelity: int) -> Tuple[Array, Array]:
+class MFGPPosteriorState(NamedTuple):
+    """x-independent posterior pieces: l = chol(K_train + (jitter+noise) I),
+    alpha = L^{-1} y. Hoisted once per program by callers that evaluate many
+    candidate batches (the MESMOC L-BFGS loop) instead of refactorizing the
+    N x N train Gram per evaluation."""
+
+    l: Array
+    alpha: Array
+
+
+def posterior_state(model: MFGPModel) -> MFGPPosteriorState:
+    params = model.params
+    n = model.x_train.shape[0]
+    k_train = mf_exact.mf_kernel_gram(params.kernel, model.x_train, model.x_train)
+    k_train = add_jitter(k_train, model.jitter) + noise(params) * jnp.eye(
+        n, dtype=model.x_train.dtype
+    )
+    l = cholesky(k_train)
+    alpha = solve_triangular(l, model.y_train[:, None], lower=True)
+    return MFGPPosteriorState(l=l, alpha=alpha)
+
+
+def predict(
+    model: MFGPModel, x: Array, fidelity: int, state: MFGPPosteriorState = None
+) -> Tuple[Array, Array]:
     """Posterior latent mean/var at [x, fidelity] (reference mfgp.py:50-61).
 
     Returns the noiseless predictive (gpytorch `self(x)` posterior).
@@ -118,22 +142,17 @@ def predict(model: MFGPModel, x: Array, fidelity: int) -> Tuple[Array, Array]:
     mfgp_lin.py:131-145,186-189 — here both models accept any q)."""
     if x.ndim == 3:
         b, q, d = x.shape
-        mean, var = predict(model, x.reshape(b * q, d), fidelity)
+        mean, var = predict(model, x.reshape(b * q, d), fidelity, state=state)
         return mean.reshape(b, q), var.reshape(b, q)
     fid_col = jnp.full((x.shape[0], 1), float(fidelity), dtype=x.dtype)
     x_aug = jnp.concatenate([x, fid_col], axis=1)
     params = model.params
-    n = model.x_train.shape[0]
-    k_train = mf_exact.mf_kernel_gram(params.kernel, model.x_train, model.x_train)
-    k_train = add_jitter(k_train, model.jitter) + noise(params) * jnp.eye(
-        n, dtype=x.dtype
-    )
-    l = cholesky(k_train)
+    if state is None:
+        state = posterior_state(model)
     k_cross = mf_exact.mf_kernel_gram(params.kernel, model.x_train, x_aug)  # (N, M)
-    w = solve_triangular(l, k_cross, lower=True)
-    alpha = solve_triangular(l, model.y_train[:, None], lower=True)
-    mean = (w.T @ alpha)[:, 0]
-    k_diag = jnp.diagonal(mf_exact.mf_kernel_gram(params.kernel, x_aug, x_aug))
+    w = solve_triangular(state.l, k_cross, lower=True)
+    mean = (w.T @ state.alpha)[:, 0]
+    k_diag = mf_exact.mf_kernel_diag(params.kernel, x_aug)
     var = jnp.maximum(k_diag - jnp.sum(w * w, axis=0), 1e-12)
     return mean, var
 

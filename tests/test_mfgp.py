@@ -141,3 +141,37 @@ def test_random_choice_baseline():
     assert counts[0] > counts[1]
     acq = rc.coupled_acq(jnp.ones((5, 3)), 0)
     assert acq.shape == (5,)
+
+
+def test_mfgp_posterior_state_matches_stateless():
+    """predict(state=...) must equal the stateless path bitwise, and the
+    analytic kernel diagonal must equal the full-gram diagonal — the MESMOC
+    optimizer hoists posterior_state outside its L-BFGS loop, so divergence
+    here silently corrupts acquisition surfaces."""
+    import jax
+    import jax.numpy as jnp
+
+    from mobocmf_tpu.kernels import mf_exact
+    from mobocmf_tpu.models import mfgp as G
+
+    rng = np.random.default_rng(3)
+    n = 20
+    xf = jnp.asarray(
+        np.hstack([rng.uniform(size=(n, 2)), rng.integers(1, 3, size=(n, 1))])
+    )
+    y = jnp.asarray(rng.normal(size=(n,)))
+    m = G.init_mfgp(xf, y, 2)
+    x = jnp.asarray(rng.uniform(size=(9, 2)))
+
+    mu0, v0 = G.predict(m, x, 1)
+    st = G.posterior_state(m)
+    mu1, v1 = G.predict(m, x, 1, state=st)
+    np.testing.assert_array_equal(np.asarray(mu0), np.asarray(mu1))
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+
+    xa = jnp.concatenate([x, jnp.ones((9, 1), dtype=x.dtype)], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(mf_exact.mf_kernel_diag(m.params.kernel, xa)),
+        np.asarray(jnp.diagonal(mf_exact.mf_kernel_gram(m.params.kernel, xa, xa))),
+        rtol=1e-12,
+    )
