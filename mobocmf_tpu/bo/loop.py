@@ -227,6 +227,9 @@ def run_bo_loop(
                 print(f"[BO iter {it}] model restore failed ({e!r}); retraining")
                 loaded = False
         if not loaded:
+            from mobocmf_tpu.models import mfdgp as _mfdgp_mod
+
+            _mfdgp_mod.INIT_TIMINGS.clear()
             fitter = BlackBoxMFDGPFitter(
                 config.num_fidelities, batch_size,
                 lr_1=config.lr_1, lr_2=config.lr_2,
@@ -253,6 +256,20 @@ def run_bo_loop(
                 )
             # setup = fitter construction + per-blackbox model init
             phase_t["setup"] = _time.time() - t_iter
+            if log_dir is not None:
+                # attribute setup time: warm-start fetch (device->host tunnel
+                # read), host-CPU init math, ship-out transfer, and the
+                # non-init remainder (standardize/ctor/bookkeeping)
+                ti = dict(_mfdgp_mod.INIT_TIMINGS)
+                other = phase_t["setup"] - sum(ti.values())
+                with open(
+                    os.path.join(log_dir, "setup_breakdown.txt"), "a"
+                ) as fh:
+                    fh.write(
+                        f"{it} {n} {ti.get('fetch', 0.0):.3f} "
+                        f"{ti.get('host', 0.0):.3f} {ti.get('ship', 0.0):.3f} "
+                        f"{other:.3f}\n"
+                    )
             t0 = _time.time()
             fitter.train_mfdgps()
             phase_t["train"] = _time.time() - t0

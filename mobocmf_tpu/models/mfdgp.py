@@ -42,6 +42,7 @@ the data predictive, and the KL.
 from __future__ import annotations
 
 import enum
+import time as _time
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -160,6 +161,12 @@ def find_good_initial_inducing_points_and_values(
     return z_x, y_fid[nearest]
 
 
+# Cumulative wall-clock of the last init_mfdgp calls, keyed fetch/host/ship.
+# The BO loop snapshots+resets this around its setup phase to attribute
+# setup-time spikes (tunnel stalls surface in fetch/ship, never host).
+INIT_TIMINGS: Dict[str, float] = {}
+
+
 def init_mfdgp(
     key: jax.Array,
     x_train: Array,
@@ -202,6 +209,7 @@ def init_mfdgp(
             init_params_to_prior_and_fix_them,
         )
     # pull inputs to host once; re-create them on the CPU backend
+    t0 = _time.time()
     x_np = np.asarray(x_train)
     y_np = np.asarray(y_train)
     f_np = np.asarray(fidelities)
@@ -214,6 +222,13 @@ def init_mfdgp(
         if previously_trained is not None
         else None
     )
+    if prev_cpu is not None:
+        # warm start fetches previous params device->host: the one
+        # synchronous tunnel read in setup. Block here so a stalled
+        # transfer is attributed to "fetch", not to host init below.
+        jax.block_until_ready((prev_cpu.params, prev_cpu.consts))
+    t_fetch = _time.time() - t0
+    t0 = _time.time()
     with jax.default_device(cpu):
         model = _init_mfdgp_impl(
             key_cpu, jnp.asarray(x_np), jnp.asarray(y_np), jnp.asarray(f_np),
@@ -221,11 +236,19 @@ def init_mfdgp(
             use_only_highest_fidelity, jitter, prev_cpu, whitened,
             init_params_to_prior_and_fix_them,
         )
-    return MFDGPModel(
+        jax.block_until_ready((model.params, model.consts))
+    t_host = _time.time() - t0
+    t0 = _time.time()
+    out = MFDGPModel(
         params=jax.device_put(model.params, ambient),
         consts=jax.device_put(model.consts, ambient),
         config=model.config,
     )
+    jax.block_until_ready((out.params, out.consts))
+    INIT_TIMINGS["fetch"] = INIT_TIMINGS.get("fetch", 0.0) + t_fetch
+    INIT_TIMINGS["host"] = INIT_TIMINGS.get("host", 0.0) + t_host
+    INIT_TIMINGS["ship"] = INIT_TIMINGS.get("ship", 0.0) + (_time.time() - t0)
+    return out
 
 
 def _init_mfdgp_impl(
