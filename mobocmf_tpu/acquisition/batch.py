@@ -27,6 +27,8 @@ from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
 Array = jnp.ndarray
 
 
+_PICK_CACHE: dict = {}
+
 PAD_VALUE = 1e6  # unfilled batch slots live far outside the unit box: their
 # penalty factor is exactly 1 and, unlike NaN padding, they cannot poison the
 # VJP (0 * NaN = NaN would propagate through the where branches otherwise)
@@ -62,13 +64,18 @@ def optimize_acqf_batch(
     chosen = jnp.full((q, input_dim), PAD_VALUE, dtype=dtype)
     values = jnp.zeros((q,), dtype=dtype)
 
-    opt = jax.jit(
-        partial(
-            _one_pick, acq_fn, input_dim,
-            num_restarts=num_restarts, raw_samples=raw_samples,
-            maxiter=maxiter, rho=rho, dtype=dtype,
+    # jit cache keyed by (acq_fn identity, statics): a jax.jit built fresh per
+    # call would recompile on every invocation with the same function
+    cache_key = (acq_fn, input_dim, num_restarts, raw_samples, maxiter, rho, dtype)
+    if cache_key not in _PICK_CACHE:
+        _PICK_CACHE[cache_key] = jax.jit(
+            partial(
+                _one_pick, acq_fn, input_dim,
+                num_restarts=num_restarts, raw_samples=raw_samples,
+                maxiter=maxiter, rho=rho, dtype=dtype,
+            )
         )
-    )
+    opt = _PICK_CACHE[cache_key]
     for k in range(q):
         key, kk = jax.random.split(key)
         x_k, v_k = opt(chosen, kk)
@@ -86,13 +93,3 @@ def _one_pick(acq_fn, input_dim, chosen, key, *, num_restarts, raw_samples, maxi
     )
 
 
-def get_batch_coupled(jes, fidelity: int, q: int, key=None):
-    """q-batch candidates for a JESMOC_MFDGP-like acquisition at a fidelity."""
-    import jax.numpy as jnp
-
-    d = jes._input_dim()
-    key = key if key is not None else jes._next_key()
-    dtype = jnp.result_type(float)
-    return optimize_acqf_batch(
-        lambda xx: jes.coupled_acq(xx, fidelity), d, q, key, dtype=dtype
-    )

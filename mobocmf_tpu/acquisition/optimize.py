@@ -163,18 +163,3 @@ def optimize_acqf_box_multi(
     return all_x[take, best], all_v[take, best]
 
 
-def optimize_acqf_box_jit(
-    acq_fn, input_dim, key, num_restarts=5, raw_samples=200, maxiter=200, dtype=jnp.float64
-):
-    f = jax.jit(
-        partial(
-            optimize_acqf_box,
-            acq_fn,
-            input_dim,
-            num_restarts=num_restarts,
-            raw_samples=raw_samples,
-            maxiter=maxiter,
-            dtype=dtype,
-        )
-    )
-    return f(key)

@@ -316,6 +316,27 @@ def sample_prior(
 sample_posterior_jit = sample_posterior
 
 
+_VMAPPED_FEATURES = None
+
+
+def _vmapped_features_jit():
+    # built once: a jax.jit(...) created at the call site would start with an
+    # empty executable cache every call, forcing a compile (or a persistent-
+    # cache reload) per Pareto phase
+    global _VMAPPED_FEATURES
+    if _VMAPPED_FEATURES is None:
+        from mobocmf_tpu.fit.trainer import CONSTS_AXES
+
+        _VMAPPED_FEATURES = jax.jit(
+            jax.vmap(
+                _sample_posterior_features,
+                in_axes=(0, 0, CONSTS_AXES, None, None),
+            ),
+            static_argnames=("config", "n_features"),
+        )
+    return _VMAPPED_FEATURES
+
+
 def sample_posterior_stacked(
     key: jax.Array,
     stacked_params,
@@ -327,18 +348,9 @@ def sample_posterior_stacked(
     """Vmapped pathwise sampling over stacked blackboxes (BASELINE config #4:
     'vmapped Pareto sampling'). One device program draws every model's
     features; the tiny MxM dual solves loop on host."""
-    from mobocmf_tpu.fit.trainer import CONSTS_AXES
-
     keys = jax.random.split(key, num_models + 1)
     feat_keys, key_theta = keys[:num_models], keys[num_models]
-    vmapped = jax.jit(
-        jax.vmap(
-            _sample_posterior_features,
-            in_axes=(0, 0, CONSTS_AXES, None, None),
-        ),
-        static_argnames=("config", "n_features"),
-    )
-    skeletons, phis, ys, covs = vmapped(
+    skeletons, phis, ys, covs = _vmapped_features_jit()(
         feat_keys, stacked_params, stacked_consts, config, n_features
     )
     dtype = stacked_consts.z_x[0].dtype

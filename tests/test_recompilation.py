@@ -128,6 +128,22 @@ def test_no_stacking_or_recommendation_recompiles_across_iterations():
     assert after == before, f"round-2 programs recompiled: {before} -> {after}"
 
 
+def test_no_pareto_sampling_recompiles_across_iterations():
+    """The stacked RFF feature program must hit its cache on iteration 2: a
+    jax.jit built at the call site (round-3 bug) started cold every call,
+    recompiling (or reloading from the persistent cache) once per Pareto
+    phase."""
+    f0 = _make_fitter(3)
+    f0.sample_and_store_pareto_solution()
+    vm = rff._vmapped_features_jit()
+    before = vm._cache_size()
+    assert before > 0
+
+    f1 = _make_fitter(4)
+    f1.sample_and_store_pareto_solution()
+    assert vm._cache_size() == before, "stacked RFF sampling recompiled"
+
+
 def test_fidelity_with_no_blackboxes_yields_zero_surface():
     """A fidelity with no registered blackboxes must give a zero coupled
     acquisition and be skipped in fidelity selection (not crash in
