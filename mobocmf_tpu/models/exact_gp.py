@@ -5,6 +5,7 @@ Scale(RBF-ARD), Gaussian likelihood, exact inference."""
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -59,21 +60,26 @@ def nlml(params: ExactGPParams, x: Array, y: Array, jitter: float) -> Array:
     return 0.5 * (jnp.sum(alpha**2) + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
 
 
-def fit_exact_gp(model: ExactGPModel, num_iters: int = 500, lr: float = 0.05) -> ExactGPModel:
+@partial(jax.jit, static_argnames=("num_iters", "lr"))
+def _fit_exact_gp_run(params, x, y, jitter, num_iters, lr):
+    # module-level jit with data as runtime args (same-shape fits share one
+    # executable; a closure-jit here recompiled per fit)
     opt = optax.adam(lr)
 
-    @jax.jit
-    def run(params):
-        def step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(nlml)(p, model.x_train, model.y_train, model.jitter)
-            updates, s = opt.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), loss
+    def step(carry, _):
+        p, s = carry
+        loss, g = jax.value_and_grad(nlml)(p, x, y, jitter)
+        updates, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), loss
 
-        (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
-        return p, losses
+    (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
+    return p, losses
 
-    params, _ = run(model.params)
+
+def fit_exact_gp(model: ExactGPModel, num_iters: int = 500, lr: float = 0.05) -> ExactGPModel:
+    params, _ = _fit_exact_gp_run(
+        model.params, model.x_train, model.y_train, model.jitter, num_iters, lr
+    )
     return model._replace(params=params)
 
 

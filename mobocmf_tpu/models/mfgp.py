@@ -15,6 +15,7 @@ marginal likelihood).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, NamedTuple, Tuple
 
 import jax
@@ -87,23 +88,28 @@ def nlml(params: MFGPParams, x: Array, y: Array, jitter: float) -> Array:
     return 0.5 * (quad + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
 
 
-def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPModel:
-    """Adam on the exact NLML (replaces botorch's fit loop)."""
+@partial(jax.jit, static_argnames=("num_iters", "lr"))
+def _fit_mfgp_run(params, x, y, jitter, num_iters, lr):
+    # module-level jit with data as runtime args: models sharing a data shape
+    # (e.g. all blackboxes of one MESMOC iteration) share one executable
     opt = optax.adam(lr)
 
-    @jax.jit
-    def run(params):
-        def step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(nlml)(p, model.x_train, model.y_train, model.jitter)
-            updates, s = opt.update(g, s, p)
-            p = optax.apply_updates(p, updates)
-            return (p, s), loss
+    def step(carry, _):
+        p, s = carry
+        loss, g = jax.value_and_grad(nlml)(p, x, y, jitter)
+        updates, s = opt.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
 
-        (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
-        return p, losses
+    (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
+    return p, losses
 
-    params, _ = run(model.params)
+
+def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPModel:
+    """Adam on the exact NLML (replaces botorch's fit loop)."""
+    params, _ = _fit_mfgp_run(
+        model.params, model.x_train, model.y_train, model.jitter, num_iters, lr
+    )
     return model._replace(params=params)
 
 

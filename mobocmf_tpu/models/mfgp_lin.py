@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,21 +83,37 @@ def nlml(params: MFGPLinParams, model: MFGPLinModel) -> Array:
     return 0.5 * (jnp.sum(alpha**2) + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
 
 
-def fit_mfgp_lin(model: MFGPLinModel, num_iters: int = 500, lr: float = 0.05) -> MFGPLinModel:
+@partial(jax.jit, static_argnames=("num_fidelities", "num_iters", "lr"))
+def _fit_mfgp_lin_run(params, x, y, jitter, num_fidelities, num_iters, lr):
+    # module-level jit with data as runtime args (same-shape fits share one
+    # executable; a closure-jit here recompiled per fit)
     opt = optax.adam(lr)
 
-    @jax.jit
-    def run(params):
-        def step(carry, _):
-            p, s = carry
-            loss, g = jax.value_and_grad(nlml)(p, model)
-            updates, s = opt.update(g, s, p)
-            return (optax.apply_updates(p, updates), s), loss
+    def loss_fn(p):
+        n = x.shape[0]
+        k = mf_exact.mf_lin_kernel_gram(p.kernel, x, x, num_fidelities)
+        k = add_jitter(k, jitter) + _NOISE_CONSTRAINT.forward(p.raw_noise) * jnp.eye(
+            n, dtype=x.dtype
+        )
+        l = cholesky(k)
+        alpha = solve_triangular(l, y[:, None], lower=True)
+        return 0.5 * (jnp.sum(alpha**2) + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
 
-        (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
-        return p, losses
+    def step(carry, _):
+        p, s = carry
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, s = opt.update(g, s, p)
+        return (optax.apply_updates(p, updates), s), loss
 
-    params, _ = run(model.params)
+    (p, _), losses = jax.lax.scan(step, (params, opt.init(params)), None, length=num_iters)
+    return p, losses
+
+
+def fit_mfgp_lin(model: MFGPLinModel, num_iters: int = 500, lr: float = 0.05) -> MFGPLinModel:
+    params, _ = _fit_mfgp_lin_run(
+        model.params, model.x_train, model.y_train, model.jitter,
+        model.num_fidelities, num_iters, lr,
+    )
     return model._replace(params=params)
 
 

@@ -175,3 +175,20 @@ def test_mfgp_posterior_state_matches_stateless():
         np.asarray(jnp.diagonal(mf_exact.mf_kernel_gram(m.params.kernel, xa, xa))),
         rtol=1e-12,
     )
+
+
+def test_mfgp_fits_share_one_executable_across_models():
+    """Same-shape fits must hit the jit cache (the MESMOC loop refits every
+    blackbox each BO iteration; closure-jits recompiled per fit)."""
+    xf, y = _mf_data(seed=5)
+    G.fit_mfgp(G.init_mfgp(xf, y, 2), num_iters=10)
+    before = G._fit_mfgp_run._cache_size()
+    xf2, y2 = _mf_data(seed=6)
+    G.fit_mfgp(G.init_mfgp(xf2, y2, 2), num_iters=10)
+    assert G._fit_mfgp_run._cache_size() == before
+
+    x_lin = jnp.concatenate([xf[:, :-1], xf[:, -1:] ], axis=1)
+    GL.fit_mfgp_lin(GL.init_mfgp_lin(x_lin, y, 2), num_iters=10)
+    before_lin = GL._fit_mfgp_lin_run._cache_size()
+    GL.fit_mfgp_lin(GL.init_mfgp_lin(x_lin, y2, 2), num_iters=10)
+    assert GL._fit_mfgp_lin_run._cache_size() == before_lin
