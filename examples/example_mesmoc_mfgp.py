@@ -72,17 +72,38 @@ def main():
         ref = np.array([10.0, 10.0])
         return hypervolume(vals, ref)
 
+    # pad every iteration's data to ONE fixed shape for the whole campaign
+    # (mfgp.PAD_PENALTY rows): every jitted program (fit scan, posterior
+    # state, acquisition L-BFGS) compiles exactly once instead of once per
+    # iteration's data size
+    target = int(8 * np.ceil((n0 + n1 + args.iters) / 8))
+
+    def padded(x, fid, y=None):
+        n = len(x)
+        x_p = np.vstack([x, np.full((target - n, x.shape[1]), 0.5)])
+        fid_p = np.concatenate([fid, np.zeros(target - n, dtype=int)])
+        valid = np.arange(target) < n
+        xf = jnp.asarray(np.concatenate([x_p, fid_p[:, None].astype(float)], axis=1))
+        if y is None:
+            return xf, valid
+        return xf, valid, jnp.asarray(np.concatenate([y, np.zeros(target - n)]))
+
     hvs = []
     for it in range(args.iters):
-        xf = jnp.asarray(np.concatenate([x, fid[:, None]], axis=1))
         models, best = {}, {}
         for name in ("obj1", "obj2"):
             y = np.array([fns[name](x[i : i + 1], fid[i])[0] for i in range(len(x))])
-            models[name] = G.fit_mfgp(G.init_mfgp(xf, jnp.asarray(y), 2), num_iters=150)
+            xf, valid, y_p = padded(x, fid, y)
+            models[name] = G.fit_mfgp(
+                G.init_mfgp(xf, y_p, 2, row_valid=valid), num_iters=150
+            )
             top = fid == 1
             best[name] = float(y[top].min()) if top.any() else float(y.min())
         y_c = np.array([fns["con1"](x[i : i + 1], fid[i])[0] for i in range(len(x))])
-        con_model = G.fit_mfgp(G.init_mfgp(xf, jnp.asarray(y_c), 2), num_iters=150)
+        xf, valid, y_cp = padded(x, fid, y_c)
+        con_model = G.fit_mfgp(
+            G.init_mfgp(xf, y_cp, 2, row_valid=valid), num_iters=150
+        )
 
         mes = MESMOC_MFGP(
             objectives={k: models[k] for k in ("obj1", "obj2")},

@@ -16,7 +16,9 @@ marginal likelihood).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +49,14 @@ class MFGPModel(NamedTuple):
     num_fidelities: int
     input_dim: int  # x dims (without fidelity)
     jitter: float
+    # (N,) extra per-row observation noise: 0 for real rows, PAD_PENALTY for
+    # shape-padding rows. A padded row's coupling to the posterior scales as
+    # k/PAD_PENALTY (~1e-6), making bucketed fits numerically equivalent to
+    # unpadded ones while keeping every jitted program's shapes constant.
+    row_penalty: Optional[Array] = None
+
+
+PAD_PENALTY = 1e6
 
 
 def init_mfgp(
@@ -55,14 +65,30 @@ def init_mfgp(
     num_fidelities: int,
     type_lengthscale: TL = TL.MEDIAN,
     jitter: float = 1e-8,
+    row_valid: Optional[Array] = None,
 ) -> MFGPModel:
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train).reshape(-1)
     input_dim = x_train.shape[1] - 1
-    init_ls = median_lengthscale(x_train[:, :input_dim])
+    if row_valid is not None:
+        valid_np = np.asarray(row_valid).astype(bool)
+        # init heuristics must see only real rows (pads would pollute the
+        # median pairwise distance)
+        init_ls = median_lengthscale(x_train[valid_np][:, :input_dim])
+    else:
+        init_ls = median_lengthscale(x_train[:, :input_dim])
     kernel = mf_exact.init_mf_kernel_params(init_ls, input_dim)
     kernel = jax.tree.map(lambda a: jnp.asarray(a, dtype=x_train.dtype), kernel)
     raw_noise = _NOISE_CONSTRAINT.inverse(jnp.asarray(0.1, dtype=x_train.dtype))
+    penalty = (
+        None
+        if row_valid is None
+        else jnp.where(
+            jnp.asarray(row_valid, dtype=bool),
+            jnp.zeros((x_train.shape[0],), dtype=x_train.dtype),
+            jnp.asarray(PAD_PENALTY, dtype=x_train.dtype),
+        )
+    )
     return MFGPModel(
         params=MFGPParams(kernel=kernel, raw_noise=raw_noise),
         x_train=x_train,
@@ -70,6 +96,7 @@ def init_mfgp(
         num_fidelities=num_fidelities,
         input_dim=input_dim,
         jitter=jitter,
+        row_penalty=penalty,
     )
 
 
@@ -77,11 +104,20 @@ def noise(params: MFGPParams) -> Array:
     return _NOISE_CONSTRAINT.forward(params.raw_noise)
 
 
-def nlml(params: MFGPParams, x: Array, y: Array, jitter: float) -> Array:
-    """Exact negative log marginal likelihood."""
+def nlml(
+    params: MFGPParams, x: Array, y: Array, jitter: float, row_penalty=None
+) -> Array:
+    """Exact negative log marginal likelihood.
+
+    row_penalty (N,): extra per-row noise (PAD_PENALTY on padded rows). A
+    padded row contributes a parameter-independent constant to quad/logdet up
+    to O(1/PAD_PENALTY), so argmin over kernel params matches the unpadded
+    NLML."""
     n = x.shape[0]
     k = mf_exact.mf_kernel_gram(params.kernel, x, x)
     k = add_jitter(k, jitter) + noise(params) * jnp.eye(n, dtype=x.dtype)
+    if row_penalty is not None:
+        k = k + jnp.diag(row_penalty)
     l = cholesky(k)
     alpha = solve_triangular(l, y[:, None], lower=True)
     quad = jnp.sum(alpha**2)
@@ -89,14 +125,14 @@ def nlml(params: MFGPParams, x: Array, y: Array, jitter: float) -> Array:
 
 
 @partial(jax.jit, static_argnames=("num_iters", "lr"))
-def _fit_mfgp_run(params, x, y, jitter, num_iters, lr):
+def _fit_mfgp_run(params, x, y, jitter, row_penalty, num_iters, lr):
     # module-level jit with data as runtime args: models sharing a data shape
     # (e.g. all blackboxes of one MESMOC iteration) share one executable
     opt = optax.adam(lr)
 
     def step(carry, _):
         p, s = carry
-        loss, g = jax.value_and_grad(nlml)(p, x, y, jitter)
+        loss, g = jax.value_and_grad(nlml)(p, x, y, jitter, row_penalty)
         updates, s = opt.update(g, s, p)
         p = optax.apply_updates(p, updates)
         return (p, s), loss
@@ -108,7 +144,8 @@ def _fit_mfgp_run(params, x, y, jitter, num_iters, lr):
 def fit_mfgp(model: MFGPModel, num_iters: int = 500, lr: float = 0.05) -> MFGPModel:
     """Adam on the exact NLML (replaces botorch's fit loop)."""
     params, _ = _fit_mfgp_run(
-        model.params, model.x_train, model.y_train, model.jitter, num_iters, lr
+        model.params, model.x_train, model.y_train, model.jitter,
+        model.row_penalty, num_iters, lr,
     )
     return model._replace(params=params)
 
@@ -130,6 +167,8 @@ def posterior_state(model: MFGPModel) -> MFGPPosteriorState:
     k_train = add_jitter(k_train, model.jitter) + noise(params) * jnp.eye(
         n, dtype=model.x_train.dtype
     )
+    if model.row_penalty is not None:
+        k_train = k_train + jnp.diag(model.row_penalty)
     l = cholesky(k_train)
     alpha = solve_triangular(l, model.y_train[:, None], lower=True)
     return MFGPPosteriorState(l=l, alpha=alpha)
@@ -208,6 +247,13 @@ def sample_from_posterior(
 
     phi_s = phi(x_data, w_s, b_s, c["signal_os"])  # (F, N)
     phi_n = phi(x_data, w_n, b_n, c["noise_os"])
+    if model.row_penalty is not None:
+        # exclude padded rows from the dual solve exactly: zero their feature
+        # columns (and targets below), so A = Phi Phi^T and Phi y see only
+        # real observations
+        real = (model.row_penalty == 0).astype(dtype)[None, :]
+        phi_s = phi_s * real
+        phi_n = phi_n * real
     nf1 = model.num_fidelities - 1
     # mask[t*F : (t+1)*F, i] active iff F - fid_i - 1 <= t  (reference :112-113)
     blocks = []
@@ -224,9 +270,14 @@ def sample_from_posterior(
     n_rows = phi_full.shape[0]
     import numpy as _np
 
+    y_dual = (
+        model.y_train
+        if model.row_penalty is None
+        else model.y_train * (model.row_penalty == 0).astype(dtype)
+    )
     theta = jnp.asarray(
         host_dual_theta(
-            _key_to_seed(kth), phi_full, model.y_train,
+            _key_to_seed(kth), phi_full, y_dual,
             _np.zeros((model.x_train.shape[0], model.x_train.shape[0])), sigma2,
         ),
         dtype=dtype,

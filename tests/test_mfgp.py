@@ -192,3 +192,31 @@ def test_mfgp_fits_share_one_executable_across_models():
     before_lin = GL._fit_mfgp_lin_run._cache_size()
     GL.fit_mfgp_lin(GL.init_mfgp_lin(x_lin, y2, 2), num_iters=10)
     assert GL._fit_mfgp_lin_run._cache_size() == before_lin
+
+
+def test_mfgp_padded_rows_do_not_change_posterior():
+    """Bucket-padding rows (row_valid=False -> PAD_PENALTY extra noise) must
+    leave the fit and the posterior numerically unchanged."""
+    xf, y = _mf_data(seed=7, n=20)
+    n_pad = 8
+    pad_x = jnp.concatenate([xf, jnp.full((n_pad, xf.shape[1]), 0.5, xf.dtype)], axis=0)
+    pad_y = jnp.concatenate([y, jnp.zeros((n_pad,), y.dtype)])
+    valid = jnp.concatenate(
+        [jnp.ones((20,), bool), jnp.zeros((n_pad,), bool)]
+    )
+
+    m = G.fit_mfgp(G.init_mfgp(xf, y, 2), num_iters=100)
+    mp = G.fit_mfgp(G.init_mfgp(pad_x, pad_y, 2, row_valid=valid), num_iters=100)
+
+    grid = jnp.asarray(np.random.default_rng(11).uniform(size=(12, 2)))
+    mean0, var0 = G.predict(m, grid, 1)
+    meanp, varp = G.predict(mp, grid, 1)
+    np.testing.assert_allclose(np.asarray(meanp), np.asarray(mean0), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(varp), np.asarray(var0), atol=2e-4)
+
+    # pathwise samples exclude pads exactly (zeroed feature columns/targets)
+    s0 = G.sample_from_posterior(jax.random.key(2), m, 1)
+    sp = G.sample_from_posterior(jax.random.key(2), mp, 1)
+    v0 = np.asarray(G.eval_mfgp_sample(s0, grid))
+    vp = np.asarray(G.eval_mfgp_sample(sp, grid))
+    np.testing.assert_allclose(vp, v0, atol=2e-3)
