@@ -36,6 +36,9 @@ def load(d):
     out["iter_s"] = np.atleast_2d(np.loadtxt(f)) if os.path.exists(f) else None
     f = os.path.join(d, "phase_seconds.txt")
     out["phase_s"] = np.atleast_2d(np.loadtxt(f)) if os.path.exists(f) else None
+    f = os.path.join(d, "setup_breakdown.txt")
+    # columns: it n fetch host ship other (bo/loop.py setup attribution)
+    out["setup_b"] = np.atleast_2d(np.loadtxt(f)) if os.path.exists(f) else None
     return out
 
 
@@ -78,6 +81,26 @@ def main():
     fig.tight_layout()
     fig.savefig(args.out, dpi=130)
     print(f"wrote {args.out}")
+
+    # optional second figure: setup-phase attribution (fetch/host/ship/other)
+    with_b = [r for r in runs if r.get("setup_b") is not None]
+    if with_b:
+        fig2, axs = plt.subplots(1, len(with_b), figsize=(5 * len(with_b), 4), squeeze=False)
+        labels = ("warm-start fetch", "host init", "ship-out", "other")
+        for ax, r in zip(axs[0], with_b):
+            b = r["setup_b"]
+            bottom = np.zeros(b.shape[0])
+            for j, lab in enumerate(labels):
+                ax.bar(b[:, 0], b[:, 2 + j], bottom=bottom, label=lab, width=1.0)
+                bottom += b[:, 2 + j]
+            ax.set_title(f"setup breakdown — {r['name']}", fontsize=9)
+            ax.set_xlabel("BO iteration")
+            ax.set_ylabel("seconds")
+            ax.legend(fontsize=7)
+        out2 = os.path.splitext(args.out)[0] + "_setup.png"
+        fig2.tight_layout()
+        fig2.savefig(out2, dpi=130)
+        print(f"wrote {out2}")
 
 
 if __name__ == "__main__":
