@@ -33,6 +33,23 @@ def median_lengthscale(x: Array) -> Array:
     return jnp.sqrt(jnp.median(vals))
 
 
+def median_lengthscale_np(x) -> "np.ndarray":
+    """Host-numpy twin of median_lengthscale (same expansion-trick formula).
+
+    Model init calls this on per-fidelity row subsets whose size changes
+    every BO iteration; the eager-jnp version recompiled ~50 tiny XLA ops
+    per iteration for the new shapes (~1 s/iteration of setup on the 1-core
+    host)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    n = x.shape[0]
+    sq = np.sum(x**2, axis=1, keepdims=True)
+    d2 = sq - 2.0 * (x @ x.T) + sq.T
+    iu, ju = np.triu_indices(n, k=1)
+    return np.sqrt(np.median(d2[iu, ju]))
+
+
 def cdist(x1: Array, x2: Array) -> Array:
     """Euclidean distance matrix between two point sets, (n1, n2)."""
     sq1 = jnp.sum(x1**2, axis=1, keepdims=True)

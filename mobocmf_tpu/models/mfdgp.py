@@ -127,15 +127,20 @@ def likelihood_noise(
 # ---------------------------------------------------------------------------
 
 
-def get_init_lengthscale(type_lengthscale: TL, inputs: Array) -> Array:
-    """Reference mfdgp.py:137-151."""
+def get_init_lengthscale(type_lengthscale: TL, inputs) -> np.ndarray:
+    """Reference mfdgp.py:137-151. Host numpy: init subsets change shape
+    every BO iteration, so eager jnp here would force fresh tiny-op compiles
+    per iteration (~1 s of every setup phase on the 1-core host)."""
+    from mobocmf_tpu.core.distances import median_lengthscale_np
+
+    inputs = np.asarray(inputs)
     d = inputs.shape[1]
     if type_lengthscale == TL.ONES:
-        return jnp.ones((d,), dtype=inputs.dtype)
+        return np.ones((d,), dtype=inputs.dtype)
     if type_lengthscale == TL.MEDIAN:
-        return median_lengthscale(inputs)
+        return np.asarray(median_lengthscale_np(inputs), dtype=inputs.dtype)
     if type_lengthscale == TL.CENTESIMAL:
-        return 0.01 * jnp.ones((d,), dtype=inputs.dtype)
+        return 0.01 * np.ones((d,), dtype=inputs.dtype)
     raise ValueError("Wrong type of lengthscale.")
 
 
@@ -147,17 +152,21 @@ def find_good_initial_inducing_points_and_values(
     Returns (z_x, values): the x-locations and, per location, the target of the
     closest training point of this layer's fidelity.
     """
-    fid = fidelities.reshape(-1)
+    fid = np.asarray(fidelities).reshape(-1)
+    x_train = np.asarray(x_train)
+    y_flat = np.asarray(y_train).reshape(-1)
     sel = fid == layer
     x_fid = x_train[sel]
-    y_fid = y_train.reshape(-1)[sel]
+    y_fid = y_flat[sel]
     z_x = x_train[sel] if only_hf else x_train
+    # host numpy: the per-fidelity subset sizes change every BO iteration, so
+    # eager jnp here would compile fresh tiny gather/matmul ops per iteration
     d2 = (
-        jnp.sum(z_x**2, 1, keepdims=True)
+        np.sum(z_x**2, 1, keepdims=True)
         - 2.0 * z_x @ x_fid.T
-        + jnp.sum(x_fid**2, 1, keepdims=True).T
+        + np.sum(x_fid**2, 1, keepdims=True).T
     )
-    nearest = jnp.argmin(d2, axis=1)
+    nearest = np.argmin(d2, axis=1)
     return z_x, y_fid[nearest]
 
 
@@ -272,8 +281,13 @@ def _init_mfdgp_impl(
     if jitter is None:
         jitter = cfg.default_jitter(dtype)
 
-    y_high = y_train.reshape(-1)[fid == num_fidelities - 1]
-    y_high_std = float(np.std(np.asarray(y_high)))
+    # numpy mirrors for the init heuristics: per-fidelity subset sizes change
+    # every BO iteration, and eager jnp on those dynamic shapes forced ~50
+    # fresh tiny-op compiles per iteration (~1 s of every setup phase)
+    x_np = np.asarray(x_train)
+    y_np = np.asarray(y_train).reshape(-1)
+    fid_np = np.asarray(fid)
+    y_high_std = float(np.std(y_np[fid_np == num_fidelities - 1]))
 
     layers: List[MFDGPLayerParams] = []
     z_xs: List[Array] = []
@@ -283,10 +297,10 @@ def _init_mfdgp_impl(
 
     for ell in range(num_fidelities):
         z_x, values = find_good_initial_inducing_points_and_values(
-            x_train, y_train, fid, ell, use_only_highest_fidelity
+            x_np, y_np, fid_np, ell, use_only_highest_fidelity
         )
         z_xs.append(z_x)
-        init_ls = get_init_lengthscale(type_lengthscale, x_train[fid == ell])
+        init_ls = get_init_lengthscale(type_lengthscale, x_np[fid_np == ell])
         d = x_train.shape[1]
 
         if previously_trained is not None:
@@ -367,7 +381,7 @@ def _init_mfdgp_impl(
         layers.append(MFDGPLayerParams(kernel=kparams, variational=variational))
 
         # per-fidelity likelihood (reference mfdgp.py:113-123)
-        y_std_f = float(np.std(np.asarray(y_train.reshape(-1)[fid == ell])))
+        y_std_f = float(np.std(y_np[fid_np == ell]))
         lo, up = 1e-8, 0.1 * y_std_f
         noise_lower.append(lo)
         noise_upper.append(up)
@@ -383,7 +397,7 @@ def _init_mfdgp_impl(
 
     params = MFDGPParams(layers=tuple(layers), raw_noises=jnp.stack(raw_noises))
     consts = MFDGPConsts(
-        z_x=tuple(z_xs),
+        z_x=tuple(jnp.asarray(z, dtype=dtype) for z in z_xs),
         acq_eps=acq_eps,
         noise_lower=jnp.asarray(noise_lower, dtype=dtype),
         noise_upper=jnp.asarray(noise_upper, dtype=dtype),
