@@ -23,7 +23,6 @@ BO-iteration acquisition phase several-fold versus a fixed 200-step scan
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

@@ -26,7 +26,7 @@ are masked out of the theta/omega sums.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ Differences from the reference (same semantics, TPU-first execution):
 from __future__ import annotations
 
 import sys
-from functools import partial
 from typing import Dict, List, Optional
 
 import jax

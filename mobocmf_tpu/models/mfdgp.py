@@ -52,9 +52,8 @@ from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.core import config as cfg
 from mobocmf_tpu.core.constraints import Interval
-from mobocmf_tpu.core.distances import median_lengthscale
 from mobocmf_tpu.kernels import deep_mf, rbf
-from mobocmf_tpu.linalg.ops import safe_cholesky, tri_solve_lower
+from mobocmf_tpu.linalg.ops import safe_cholesky
 from mobocmf_tpu.models import svgp
 
 Array = jnp.ndarray

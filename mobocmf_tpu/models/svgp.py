@@ -33,7 +33,6 @@ from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.linalg.ops import (
     logdet_from_chol,

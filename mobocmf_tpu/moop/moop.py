@@ -15,7 +15,6 @@ computation statically shaped (jit/pjit friendly).
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Sequence
 

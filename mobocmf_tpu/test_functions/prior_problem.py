@@ -14,7 +14,7 @@ bimodal.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -14,7 +14,6 @@ orbax is the durable format for long BO campaigns.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
 import numpy as np
