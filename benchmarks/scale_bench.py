@@ -66,9 +66,15 @@ def bench_cholesky(n: int, batch: int = 8, iters: int = 20):
 
 
 def main():
+    import argparse
+
     import jax
 
     from mobocmf_tpu.util.cache import enable_compilation_cache
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also write the JSON here")
+    args = ap.parse_args()
 
     enable_compilation_cache()
     results = {"backend": jax.default_backend()}
@@ -82,6 +88,9 @@ def main():
         results[f"cholesky_gflops_n{n}_b8"] = round(gf, 1)
         print(f"chol n={n} batch=8: {gf:.0f} GFLOP/s", file=sys.stderr, flush=True)
     print(json.dumps(results))
+    if args.out:
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
 
 
 if __name__ == "__main__":
