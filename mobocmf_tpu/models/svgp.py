@@ -73,6 +73,15 @@ def init_variational(
     import numpy as _np
 
     cov_np = _np.asarray(cov, dtype=_np.float64)
+    diag = _np.diag(cov_np)
+    if not _np.any(cov_np - _np.diag(diag)):
+        # exactly diagonal (every non-top layer inits at 1e-8*I): chol is
+        # sqrt of the diagonal — skips an O(m^3) dense host factorization
+        # (~seconds per layer per blackbox per BO iteration at m=2048)
+        l = jnp.asarray(_np.diag(_np.sqrt(diag)))
+        if dtype is not None:
+            return SVGPVariational(mean=mean.astype(dtype), chol_raw=l.astype(dtype))
+        return SVGPVariational(mean=mean, chol_raw=l)
     scale = float(_np.mean(_np.diag(cov_np)))
     l = None
     for rel in (0.0, 1e-12, 1e-9, 1e-6, 1e-3):
