@@ -498,10 +498,17 @@ class MOOP:
         if not feasible.any():
             return None
 
-        # per-objective polish; append accepted optima to the grid
+        # per-objective polish; append accepted optima to the grid. The
+        # appended block has a FIXED size (one row per objective, rejected
+        # slots masked infeasible) so every downstream program
+        # (pareto_front_mask, summarize_pareto) keeps one shape per bucket —
+        # a variable-length append recompiled them whenever the accepted
+        # count changed between iterations.
         if self.polish != "none":
-            new_pts: List[np.ndarray] = []
-            for i in range(len(self._objs)):
+            n_obj = len(self._objs)
+            extra = np.tile(grid[:1], (n_obj, 1))  # placeholder rows
+            extra_valid = np.zeros(n_obj, dtype=bool)
+            for i in range(n_obj):
                 if self.polish == "device":
                     key, kp = jax.random.split(key)
                     opt_x = self.optimize_obj_globally_device(
@@ -512,17 +519,16 @@ class MOOP:
                 if opt_x is not None:
                     d = np.sqrt(((grid - opt_x) ** 2).sum(axis=1)).min()
                     if d > self.min_distance_between_points:
-                        new_pts.append(opt_x)
-            if new_pts:
-                extra = np.concatenate(new_pts, axis=0)
-                extra_j = jnp.asarray(extra)
-                grid = np.concatenate([grid, extra], axis=0)
-                grid_j = jnp.asarray(grid)
-                obj_evals = np.concatenate(
-                    [obj_evals, np.stack([np.asarray(of.eval_jit(extra_j)) for of in self._objs])],
-                    axis=1,
-                )
-                feasible = np.concatenate([feasible, np.ones(extra.shape[0], dtype=bool)])
+                        extra[i] = np.asarray(opt_x).reshape(-1)
+                        extra_valid[i] = True
+            extra_j = jnp.asarray(extra)
+            grid = np.concatenate([grid, extra], axis=0)
+            grid_j = jnp.asarray(grid)
+            obj_evals = np.concatenate(
+                [obj_evals, np.stack([np.asarray(of.eval_jit(extra_j)) for of in self._objs])],
+                axis=1,
+            )
+            feasible = np.concatenate([feasible, extra_valid])
 
         pts = jnp.asarray(obj_evals.T)
         mask = pareto_front_mask(pts, jnp.asarray(feasible))

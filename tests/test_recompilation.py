@@ -67,6 +67,27 @@ def _one_iteration(seed: int):
     return x_next, fid_next
 
 
+def test_zero_xla_compiles_on_second_same_bucket_iteration(caplog):
+    """THE regression guard for the per-iteration-recompile bug class
+    (call-site jits, eager ops on per-iteration dynamic shapes): a full
+    fit + Pareto + conditioned + acquisition pass at an already-seen data
+    shape must trigger ZERO XLA compilations."""
+    import logging
+
+    _one_iteration(7)  # warm every program at this shape
+    jax.config.update("jax_log_compiles", True)
+    try:
+        with caplog.at_level(logging.WARNING, logger="jax._src.dispatch"):
+            _one_iteration(8)
+    finally:
+        jax.config.update("jax_log_compiles", False)
+    compiles = [r for r in caplog.records if "Finished XLA compilation" in r.getMessage()]
+    assert not compiles, (
+        f"{len(compiles)} XLA compiles on a same-shape iteration: "
+        + "; ".join(r.getMessage()[:80] for r in compiles[:5])
+    )
+
+
 def test_no_acquisition_recompiles_across_iterations():
     _one_iteration(0)
     # the standard coupled registration takes the FUSED all-fidelity program
