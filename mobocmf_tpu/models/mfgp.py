@@ -26,7 +26,7 @@ import optax
 from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.core.constraints import GreaterThan
-from mobocmf_tpu.core.distances import median_lengthscale
+from mobocmf_tpu.core.distances import median_lengthscale_np
 from mobocmf_tpu.kernels import mf_exact
 from mobocmf_tpu.linalg.ops import add_jitter, cholesky, logdet_from_chol
 from mobocmf_tpu.models.mfdgp import TL
@@ -74,9 +74,9 @@ def init_mfgp(
         valid_np = np.asarray(row_valid).astype(bool)
         # init heuristics must see only real rows (pads would pollute the
         # median pairwise distance)
-        init_ls = median_lengthscale(x_train[valid_np][:, :input_dim])
+        init_ls = median_lengthscale_np(np.asarray(x_train)[valid_np][:, :input_dim])
     else:
-        init_ls = median_lengthscale(x_train[:, :input_dim])
+        init_ls = median_lengthscale_np(np.asarray(x_train)[:, :input_dim])
     kernel = mf_exact.init_mf_kernel_params(init_ls, input_dim)
     kernel = jax.tree.map(lambda a: jnp.asarray(a, dtype=x_train.dtype), kernel)
     raw_noise = _NOISE_CONSTRAINT.inverse(jnp.asarray(0.1, dtype=x_train.dtype))

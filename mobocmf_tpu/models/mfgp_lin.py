@@ -21,7 +21,7 @@ import optax
 from jax.scipy.linalg import solve_triangular
 
 from mobocmf_tpu.core.constraints import GreaterThan
-from mobocmf_tpu.core.distances import median_lengthscale
+from mobocmf_tpu.core.distances import median_lengthscale_np
 from mobocmf_tpu.kernels import mf_exact
 from mobocmf_tpu.linalg.ops import add_jitter, cholesky, logdet_from_chol
 
@@ -49,7 +49,7 @@ def init_mfgp_lin(
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train).reshape(-1)
     input_dim = x_train.shape[1] - 1
-    init_ls = median_lengthscale(x_train[:, :input_dim])
+    init_ls = median_lengthscale_np(np.asarray(x_train)[:, :input_dim])
     kernel = mf_exact.init_mf_lin_kernel_params(init_ls, input_dim, num_fidelities)
     kernel = jax.tree.map(lambda a: jnp.asarray(a, dtype=x_train.dtype), kernel)
     return MFGPLinModel(
