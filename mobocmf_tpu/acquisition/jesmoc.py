@@ -29,6 +29,7 @@ information gain over them, so one program serves any number of blackboxes.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict, Optional
 
@@ -71,6 +72,13 @@ def info_gain(
 
 # per-model layer states, shared helper with fit/conditioned.py
 _stacked_states = trainer.states_stacked
+
+# A/B switch (read at import): carry explicit L^{-1} in the acquisition
+# states so every L-BFGS-loop predictive solve becomes an MXU matmul
+# (models/svgp.predict_diag_state). Off by default until TPU-measured —
+# numerically it perturbs acq values by ~cond(L)*eps (f32 ~1e-4), which the
+# argmax is insensitive to (tests/test_fused_acq.py tolerance).
+ACQ_INV_SOLVES = os.environ.get("MOBOCMF_ACQ_INV", "0") == "1"
 
 
 def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x,
@@ -123,8 +131,8 @@ def optimize_coupled_jes(
     """Maximize the coupled JES acquisition at one fidelity over [0,1]^d."""
     dtype = su_c.z_x[0].dtype
     # factor every model's inducing chain once; the L-BFGS loop reuses it
-    states_u = _stacked_states(su_p, su_c, config)
-    states_c = _stacked_states(sc_p, sc_c, config)
+    states_u = _stacked_states(su_p, su_c, config, with_inv=ACQ_INV_SOLVES)
+    states_c = _stacked_states(sc_p, sc_c, config, with_inv=ACQ_INV_SOLVES)
 
     def acq(xx):
         return _coupled_gain_stacked(
@@ -178,8 +186,8 @@ def optimize_coupled_jes_all_fidelities(
     all fidelities from one forward pass, and all F x num_restarts L-BFGS
     lanes run in one vmapped while_loop. Returns (xs (F, d), values (F,)).
     """
-    states_u = _stacked_states(su_p, su_c, config)
-    states_c = _stacked_states(sc_p, sc_c, config)
+    states_u = _stacked_states(su_p, su_c, config, with_inv=ACQ_INV_SOLVES)
+    states_c = _stacked_states(sc_p, sc_c, config, with_inv=ACQ_INV_SOLVES)
     dtype = su_c.z_x[0].dtype
 
     def acq_all(xx):
@@ -220,8 +228,8 @@ def optimize_coupled_jes_penalized(
     factor around `chosen` (acquisition/batch.py's construction, but module
     level with params as runtime args so BO iterations 2+ hit the jit cache)."""
     dtype = su_c.z_x[0].dtype
-    states_u = _stacked_states(su_p, su_c, config)
-    states_c = _stacked_states(sc_p, sc_c, config)
+    states_u = _stacked_states(su_p, su_c, config, with_inv=ACQ_INV_SOLVES)
+    states_c = _stacked_states(sc_p, sc_c, config, with_inv=ACQ_INV_SOLVES)
 
     def acq(xx):
         base = _coupled_gain_stacked(

@@ -294,14 +294,17 @@ def train_mfdgp_two_phase(
 CONSTS_AXES = M.MFDGPConsts(z_x=None, acq_eps=0, noise_lower=0, noise_upper=0)
 
 
-def states_stacked(stacked_params, stacked_consts, config: M.MFDGPConfig):
+def states_stacked(
+    stacked_params, stacked_consts, config: M.MFDGPConfig, with_inv: bool = False
+):
     """Per-model layer states (inducing Cholesky chain + solved variational
     quantities), vmapped over the stacked-blackbox leading axis. x-independent:
     callers evaluating several terms or many candidates against the same
     models compute this ONCE and thread it through (acquisition/jesmoc.py,
-    fit/conditioned.py)."""
+    fit/conditioned.py). with_inv: also carry the explicit L^{-1}
+    (LayerState.lk_inv) so per-evaluation solves become MXU matmuls."""
     return jax.vmap(
-        lambda p, c: M.compute_layer_states(p, c, config),
+        lambda p, c: M.compute_layer_states(p, c, config, with_inv=with_inv),
         in_axes=(0, CONSTS_AXES),
     )(stacked_params, stacked_consts)
 

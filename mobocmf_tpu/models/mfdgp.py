@@ -428,10 +428,15 @@ class LayerState(NamedTuple):
     lk: Array  # chol(Kzz + jitter I)
     w_mean: Array  # (M,)
     w_ls: Array  # (M, M)
+    # optional explicit L^{-1} (compute_layer_states(with_inv=True)): turns
+    # the per-evaluation triangular solve into an MXU matmul for acquisition
+    # L-BFGS loops; None on the training/parity path
+    lk_inv: Optional[Array] = None
 
 
 def compute_layer_states(
-    params: MFDGPParams, consts: MFDGPConsts, config: MFDGPConfig
+    params: MFDGPParams, consts: MFDGPConsts, config: MFDGPConfig,
+    with_inv: bool = False,
 ) -> List[LayerState]:
     """Resolve the dynamic inducing-point chain once per forward.
 
@@ -458,7 +463,14 @@ def compute_layer_states(
             z = jnp.concatenate([z_x, last_col[:, None]], axis=1)
         lk = safe_cholesky(gram(lp.kernel, z, z), config.jitter)
         w_mean, w_ls = svgp.solve_variational(lp.variational, lk, config.whitened)
-        states.append(LayerState(z=z, lk=lk, w_mean=w_mean, w_ls=w_ls))
+        lk_inv = (
+            solve_triangular(
+                lk, jnp.eye(lk.shape[0], dtype=lk.dtype), lower=True
+            )
+            if with_inv
+            else None
+        )
+        states.append(LayerState(z=z, lk=lk, w_mean=w_mean, w_ls=w_ls, lk_inv=lk_inv))
         if ell + 1 < config.num_fidelities and not config.only_hf:
             m = lp.variational.mean
             if config.whitened:
@@ -503,7 +515,8 @@ def forward(
             prev = jnp.zeros_like(f_prev) if config.only_hf else f_prev
             x_in = jnp.concatenate([x, prev[:, None]], axis=1)
         mu, var = svgp.predict_diag_state(
-            gram, diag, lp.kernel, st.z, x_in, st.lk, st.w_mean, st.w_ls
+            gram, diag, lp.kernel, st.z, x_in, st.lk, st.w_mean, st.w_ls,
+            lk_inv=st.lk_inv,
         )
         outputs.append((mu, var))
         if ell + 1 < num_layers:

@@ -218,13 +218,24 @@ def predict_diag_state(
     lk: Array,
     w_mean: Array,
     w_ls: Array,
+    lk_inv: Array | None = None,
 ) -> Tuple[Array, Array]:
     """Marginal predictive q(f(x)) from a precomputed layer state.
 
     Equals predict_diag (unwhitened state) / predict_diag_whitened (whitened
-    state); the per-x work is one triangular solve + two matmuls."""
+    state); the per-x work is one triangular solve + two matmuls.
+
+    lk_inv: optional explicit L^{-1} (computed once per program by
+    compute_layer_states(with_inv=True)): the per-x triangular solve becomes
+    a plain matmul — MXU-friendly on TPU for evaluation loops (L-BFGS bodies)
+    that call this many times against one state. f32 cost: |w| error ~
+    cond(L) * eps relative (~1e-4 at jittered kernel conditioning) — fine for
+    acquisition surfaces, not used on the training/parity path."""
     kzx = kernel_gram(kparams, z, x)  # (M, N)
-    w = tri_solve_lower(lk, kzx)
+    if lk_inv is not None:
+        w = jnp.matmul(lk_inv, kzx, precision=jax.lax.Precision.HIGHEST)
+    else:
+        w = tri_solve_lower(lk, kzx)
     mu = jnp.matmul(w.T, w_mean[:, None], precision=jax.lax.Precision.HIGHEST)[:, 0]
     kxx = kernel_diag(kparams, x)
     v1 = jnp.sum(w * w, axis=0)

@@ -154,3 +154,28 @@ def test_asymmetric_registration_falls_back(fitters):
     x_next, fid_next = jes.get_nextpoint_coupled(iteration=0)
     assert x_next.shape == (2,)
     assert 0 <= fid_next < 2
+
+
+def test_inv_solve_states_match_exact_solves(fitters):
+    """LayerState.lk_inv (explicit L^{-1}, the MXU-matmul acquisition path,
+    MOBOCMF_ACQ_INV=1) must reproduce the triangular-solve predictive."""
+    fitter, cond = fitters
+    jes = _jes(fitter, cond)
+    stacked = jes._stacked(1)
+    su_p, su_c, sc_p, sc_c, config = stacked
+
+    grid = jnp.asarray(np.random.default_rng(5).uniform(size=(20, 2)))
+    st_exact = trainer.states_stacked(su_p, su_c, config)
+    st_inv = trainer.states_stacked(su_p, su_c, config, with_inv=True)
+    stc_exact = trainer.states_stacked(sc_p, sc_c, config)
+    stc_inv = trainer.states_stacked(sc_p, sc_c, config, with_inv=True)
+
+    g_exact = J._coupled_gain_all_stacked(
+        su_p, su_c, sc_p, sc_c, config, grid, st_exact, stc_exact
+    )
+    g_inv = J._coupled_gain_all_stacked(
+        su_p, su_c, sc_p, sc_c, config, grid, st_inv, stc_inv
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_inv), np.asarray(g_exact), rtol=1e-6, atol=1e-8
+    )
