@@ -57,3 +57,36 @@ def test_whitened_rff_sampling_finite():
     s = rff.sample_posterior(jax.random.key(3), model.params, model.consts, model.config)
     vals = rff.eval_sample(s, x)
     assert np.all(np.isfinite(np.asarray(vals)))
+
+
+def test_whitened_combines_with_only_hf_and_freeze_prior():
+    """Edge combinations: whitened x use_only_highest_fidelity and
+    whitened x init_params_to_prior_and_fix_them must initialize, match the
+    unwhitened posterior at init, and produce finite ELBO terms."""
+    x, y, fid = _data(seed=3)
+    for kw in (
+        {"use_only_highest_fidelity": True},
+        {"init_params_to_prior_and_fix_them": True},
+        {"use_only_highest_fidelity": True, "init_params_to_prior_and_fix_them": True},
+    ):
+        mu_model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2,
+                                whitened=False, **kw)
+        mw_model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2,
+                                whitened=True, **kw)
+        eps = M.sample_eps(jax.random.key(1), mu_model.config, x.shape[0], x.dtype)
+        outs_u = M.forward(mu_model.params, mu_model.consts, mu_model.config, x, eps)
+        outs_w = M.forward(mw_model.params, mw_model.consts, mw_model.config, x, eps)
+        for (mu_u, var_u), (mu_w, var_w) in zip(outs_u, outs_w):
+            np.testing.assert_allclose(
+                np.asarray(mu_w), np.asarray(mu_u), rtol=1e-5, atol=1e-7,
+                err_msg=f"mean mismatch for {kw}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(var_w), np.asarray(var_u), rtol=1e-4, atol=1e-7,
+                err_msg=f"var mismatch for {kw}",
+            )
+        e_w, kl_w = elbo_terms(
+            mw_model.params, mw_model.consts, mw_model.config, x, y, fid, eps,
+            x.shape[0],
+        )
+        assert np.isfinite(float(e_w)) and np.isfinite(float(kl_w)), kw
