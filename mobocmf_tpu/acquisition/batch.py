@@ -28,6 +28,7 @@ Array = jnp.ndarray
 
 
 _PICK_CACHE: dict = {}
+_PICK_CACHE_MAX = 8  # FIFO-evicted; see the cache note in optimize_acqf_batch
 
 PAD_VALUE = 1e6  # unfilled batch slots live far outside the unit box: their
 # penalty factor is exactly 1 and, unlike NaN padding, they cannot poison the
@@ -64,10 +65,16 @@ def optimize_acqf_batch(
     chosen = jnp.full((q, input_dim), PAD_VALUE, dtype=dtype)
     values = jnp.zeros((q,), dtype=dtype)
 
-    # jit cache keyed by (acq_fn identity, statics): a jax.jit built fresh per
-    # call would recompile on every invocation with the same function
+    # jit cache keyed by (acq_fn identity, statics): repeated calls with a
+    # STABLE acq_fn (module-level function, params threaded via its tree)
+    # reuse one executable. Per-call closures get no reuse by construction —
+    # the bounded FIFO eviction keeps those from pinning stale params and
+    # executables forever. (The production q>1 path does not come through
+    # here: jesmoc.optimize_coupled_jes_penalized is module-level jitted.)
     cache_key = (acq_fn, input_dim, num_restarts, raw_samples, maxiter, rho, dtype)
     if cache_key not in _PICK_CACHE:
+        while len(_PICK_CACHE) >= _PICK_CACHE_MAX:
+            _PICK_CACHE.pop(next(iter(_PICK_CACHE)))
         _PICK_CACHE[cache_key] = jax.jit(
             partial(
                 _one_pick, acq_fn, input_dim,

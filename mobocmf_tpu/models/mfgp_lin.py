@@ -76,11 +76,23 @@ def _train_chol(model: MFGPLinModel, params: MFGPLinParams) -> Array:
     return cholesky(k)
 
 
-def nlml(params: MFGPLinParams, model: MFGPLinModel) -> Array:
-    l = _train_chol(model, params)
-    alpha = solve_triangular(l, model.y_train[:, None], lower=True)
-    n = model.x_train.shape[0]
+def nlml(params: MFGPLinParams, x: Array, y: Array, jitter: float,
+         num_fidelities: int) -> Array:
+    """Exact negative log marginal likelihood (data args, one definition
+    shared by the fit loop and external callers/tests)."""
+    n = x.shape[0]
+    k = mf_exact.mf_lin_kernel_gram(params.kernel, x, x, num_fidelities)
+    k = add_jitter(k, jitter) + _NOISE_CONSTRAINT.forward(params.raw_noise) * jnp.eye(
+        n, dtype=x.dtype
+    )
+    l = cholesky(k)
+    alpha = solve_triangular(l, y[:, None], lower=True)
     return 0.5 * (jnp.sum(alpha**2) + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
+
+
+def nlml_model(params: MFGPLinParams, model: MFGPLinModel) -> Array:
+    return nlml(params, model.x_train, model.y_train, model.jitter,
+                model.num_fidelities)
 
 
 @partial(jax.jit, static_argnames=("num_fidelities", "num_iters", "lr"))
@@ -89,19 +101,9 @@ def _fit_mfgp_lin_run(params, x, y, jitter, num_fidelities, num_iters, lr):
     # executable; a closure-jit here recompiled per fit)
     opt = optax.adam(lr)
 
-    def loss_fn(p):
-        n = x.shape[0]
-        k = mf_exact.mf_lin_kernel_gram(p.kernel, x, x, num_fidelities)
-        k = add_jitter(k, jitter) + _NOISE_CONSTRAINT.forward(p.raw_noise) * jnp.eye(
-            n, dtype=x.dtype
-        )
-        l = cholesky(k)
-        alpha = solve_triangular(l, y[:, None], lower=True)
-        return 0.5 * (jnp.sum(alpha**2) + logdet_from_chol(l) + n * jnp.log(2.0 * jnp.pi))
-
     def step(carry, _):
         p, s = carry
-        loss, g = jax.value_and_grad(loss_fn)(p)
+        loss, g = jax.value_and_grad(nlml)(p, x, y, jitter, num_fidelities)
         updates, s = opt.update(g, s, p)
         return (optax.apply_updates(p, updates), s), loss
 

@@ -74,10 +74,14 @@ def init_variational(
 
     cov_np = _np.asarray(cov, dtype=_np.float64)
     diag = _np.diag(cov_np)
-    if not _np.any(cov_np - _np.diag(diag)):
-        # exactly diagonal (every non-top layer inits at 1e-8*I): chol is
-        # sqrt of the diagonal — skips an O(m^3) dense host factorization
-        # (~seconds per layer per blackbox per BO iteration at m=2048)
+    if not _np.any(cov_np - _np.diag(diag)) and bool(_np.all(diag > 0)):
+        # exactly diagonal with positive entries (every non-top layer inits
+        # at 1e-8*I): chol is sqrt of the diagonal — skips an O(m^3) dense
+        # host factorization (~seconds per layer per blackbox per BO
+        # iteration at m=2048). A singular diagonal (e.g. y_high_std == 0
+        # making the top-layer cov exactly zero) falls through to the
+        # escalation loop below, which raises loudly instead of returning a
+        # zero factor that would -inf the KL logdet.
         l = jnp.asarray(_np.diag(_np.sqrt(diag)))
         if dtype is not None:
             return SVGPVariational(mean=mean.astype(dtype), chol_raw=l.astype(dtype))

@@ -54,9 +54,9 @@ def test_mfgp_rff_sample_tracks_posterior():
 def test_mfgp_lin_fit_and_mean_function():
     xf, y = _mf_data(seed=2)
     model = GL.init_mfgp_lin(xf, y, num_fidelities=2)
-    n0 = float(GL.nlml(model.params, model))
+    n0 = float(GL.nlml_model(model.params, model))
     model = GL.fit_mfgp_lin(model, num_iters=100, lr=0.05)
-    assert float(GL.nlml(model.params, model)) < n0
+    assert float(GL.nlml_model(model.params, model)) < n0
 
     mean_fn = GL.get_mean_function_high_fidelity(model)
     x_test = np.random.default_rng(4).uniform(size=(4, 2))
