@@ -26,6 +26,7 @@ def main():
     from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
     from mobocmf_tpu.sampling import rff
     from mobocmf_tpu.util import checkpoint
+    from mobocmf_tpu.util.profiling import phase_report, phase_timer
     from mobocmf_tpu.util.util import standardize_outputs
 
     np.random.seed(0)
@@ -67,17 +68,20 @@ def main():
     )
 
     # unconditioned training + checkpoint round trip
-    fitter.train_mfdgps()
+    with phase_timer("train_uncond"):
+        fitter.train_mfdgps()
     checkpoint.save_fitter("/tmp/mobocmf_tpu_ckpt_uncond", fitter)
     fitter = checkpoint.restore_fitter("/tmp/mobocmf_tpu_ckpt_uncond")
     print("checkpoint round-trip (unconditioned) OK")
 
     # Pareto sampling + conditioned training
     cond = fitter.copy_uncond()
-    solution = cond.sample_and_store_pareto_solution()
+    with phase_timer("pareto_sampling"):
+        solution = cond.sample_and_store_pareto_solution()
     print("pareto points:", solution.num_valid)
     cond.num_epochs_2 = num_epochs_cond
-    cond.train_conditioned_mfdgps()
+    with phase_timer("train_conditioned"):
+        cond.train_conditioned_mfdgps()
     checkpoint.save_fitter("/tmp/mobocmf_tpu_ckpt_cond", cond)
     cond = checkpoint.restore_fitter("/tmp/mobocmf_tpu_ckpt_cond")
     print("checkpoint round-trip (conditioned) OK")
@@ -97,6 +101,8 @@ def main():
             print(f"acq {name} f={f}: max={float(jnp.max(acq)):.4f}")
         coupled = jes.coupled_acq(grid, f)
         print(f"coupled f={f}: max={float(jnp.max(coupled)):.4f}")
+
+    print("phase report:", phase_report())
 
 
 if __name__ == "__main__":
