@@ -67,6 +67,10 @@ def main():
                         "previous iteration (the reference ships this "
                         "commented out, toy:333-357; default off = reference "
                         "behavior)")
+    parser.add_argument("--acquisition", choices=("jesmoc", "random"),
+                        default="jesmoc",
+                        help="candidate selection: the full JES pipeline or "
+                        "the reference's Random_choice baseline")
     parser.add_argument("--whitened", action="store_true",
                         help="whitened inducing-point parameterization (the "
                         "BASELINE north-star redesign of the reference's "
@@ -120,6 +124,7 @@ def main():
         polish=args.polish,
         warm_start=args.warm_start,
         whitened=args.whitened,
+        acquisition=args.acquisition,
     )
     if args.fast:
         config = BOConfig(

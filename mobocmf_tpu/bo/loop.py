@@ -110,6 +110,12 @@ class BOConfig:
     # restores them instead of retraining when present
     store_models_in_disk: bool = False
     load_models_from_disk: bool = False
+    # candidate selection: "jesmoc" (the full JES pipeline) or "random" (the
+    # reference's Random_choice baseline, acquisition_functions/
+    # Random_choice.py:44-56 — uniform x, fidelity ~ 1 - cost/total; models
+    # are still trained so recommendation scoring works, but the Pareto
+    # sampling + conditioned training phases are skipped)
+    acquisition: str = "jesmoc"
 
 
 @dataclasses.dataclass
@@ -273,18 +279,24 @@ def run_bo_loop(
             t0 = _time.time()
             fitter.train_mfdgps()
             phase_t["train"] = _time.time() - t0
-            t0 = _time.time()
-            cond = fitter.copy_uncond()
-            cond.sample_and_store_pareto_solution()
-            phase_t["pareto"] = _time.time() - t0
-            t0 = _time.time()
-            cond.train_conditioned_mfdgps()
-            phase_t["cond"] = _time.time() - t0
+            if config.acquisition == "random":
+                # the random baseline needs no conditioning — models are kept
+                # for recommendation scoring only
+                cond = None
+            else:
+                t0 = _time.time()
+                cond = fitter.copy_uncond()
+                cond.sample_and_store_pareto_solution()
+                phase_t["pareto"] = _time.time() - t0
+                t0 = _time.time()
+                cond.train_conditioned_mfdgps()
+                phase_t["cond"] = _time.time() - t0
             if config.store_models_in_disk and models_dir is not None:
                 from mobocmf_tpu.util.checkpoint import save_fitter
 
                 save_fitter(os.path.join(models_dir, "uncond"), fitter)
-                save_fitter(os.path.join(models_dir, "cond"), cond)
+                if cond is not None:
+                    save_fitter(os.path.join(models_dir, "cond"), cond)
         prev_fitter = fitter
 
         if config.dump_params and log_dir is not None:
@@ -300,27 +312,47 @@ def run_bo_loop(
                     for layer, vals in describe_hyperparams(model).items():
                         fh.write(f"{layer}: {vals}\n")
 
-        jes = JESMOC_MFDGP(
-            model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
-            eval_highest_fidelity=config.eval_highest_fidelity, seed=config.seed + it,
-            acq_maxiter=config.acq_maxiter,
-            acq_raw_samples=config.acq_raw_samples,
-        )
-        for bb in blackboxes:
-            for level in range(config.num_fidelities):
-                jes.add_blackbox(
-                    level, bb.name, cost_evaluation=bb.costs[level],
-                    is_constraint=bb.is_constraint,
-                )
         t0 = _time.time()
-        x_next, fid_next = jes.get_nextpoint_coupled(iteration=it, verbose=True)
-        x_next = np.asarray(x_next, dtype=float).reshape(1, d)
-        if config.q > 1:
-            # fill the batch at the selected fidelity by sequential greedy
-            # local-penalization maximization; the q=1 maximizer above seeds
-            # the batch as its first point
-            xs_batch = jes.get_batch_coupled(fid_next, config.q - 1, x0=x_next)
-            x_next = np.vstack([x_next, np.asarray(xs_batch, dtype=float)])
+        if config.acquisition == "random":
+            from mobocmf_tpu.acquisition.random_choice import Random_choice
+
+            rc = Random_choice(
+                input_size=d, num_fidelities=config.num_fidelities,
+                seed=config.seed + it,
+            )
+            for bb in blackboxes:
+                for level in range(config.num_fidelities):
+                    rc.add_blackbox(level, bb.name, cost_evaluation=bb.costs[level])
+            x_next, fid_next = rc.get_nextpoint_coupled(iteration=it, verbose=True)
+            x_next = np.asarray(x_next, dtype=float).reshape(1, d)
+            if config.q > 1:
+                # q iid uniform candidates at the sampled fidelity
+                extra = np.asarray(
+                    jax.random.uniform(rc._next_key(), (config.q - 1, d)),
+                    dtype=float,
+                )
+                x_next = np.vstack([x_next, extra])
+        else:
+            jes = JESMOC_MFDGP(
+                model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
+                eval_highest_fidelity=config.eval_highest_fidelity, seed=config.seed + it,
+                acq_maxiter=config.acq_maxiter,
+                acq_raw_samples=config.acq_raw_samples,
+            )
+            for bb in blackboxes:
+                for level in range(config.num_fidelities):
+                    jes.add_blackbox(
+                        level, bb.name, cost_evaluation=bb.costs[level],
+                        is_constraint=bb.is_constraint,
+                    )
+            x_next, fid_next = jes.get_nextpoint_coupled(iteration=it, verbose=True)
+            x_next = np.asarray(x_next, dtype=float).reshape(1, d)
+            if config.q > 1:
+                # fill the batch at the selected fidelity by sequential greedy
+                # local-penalization maximization; the q=1 maximizer above seeds
+                # the batch as its first point
+                xs_batch = jes.get_batch_coupled(fid_next, config.q - 1, x0=x_next)
+                x_next = np.vstack([x_next, np.asarray(xs_batch, dtype=float)])
         phase_t["acq"] = _time.time() - t0
         fid_batch = np.full(x_next.shape[0], fid_next, dtype=int)
 
@@ -356,7 +388,7 @@ def run_bo_loop(
                 f"(feasible={rec.feasible}, dropped={rec.num_infeasible})"
             )
 
-        if config.plot_surfaces and log_dir is not None:
+        if config.plot_surfaces and log_dir is not None and cond is not None:
             try:
                 plot_iteration_surfaces(
                     os.path.join(log_dir, "plots"), it, fitter, cond, blackboxes,

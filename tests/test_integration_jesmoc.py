@@ -250,3 +250,42 @@ def test_bo_loop_q_batch(tmp_path):
     )
     state2 = run_bo_loop(blackboxes, x_init, fid_init, config2)
     assert state2.x.shape[0] == 16  # 10 + 2 iterations x q
+
+
+def test_bo_loop_random_acquisition_baseline(tmp_path):
+    """BOConfig.acquisition='random' drives the reference's Random_choice
+    baseline end-to-end: uniform candidates, cost-weighted fidelity, no
+    Pareto/conditioning phases, artifacts still written."""
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    def make(shift):
+        return [
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2 + 0.3),
+            lambda xs, s=shift: ((np.atleast_2d(xs)[:, 0] - s) ** 2
+                                 + np.atleast_2d(xs)[:, 1] ** 2),
+        ]
+
+    blackboxes = [
+        Blackbox("obj1", make(0.25)),
+        Blackbox("obj2", make(0.75)),
+        Blackbox("con1", [lambda xs: 0.9 - np.atleast_2d(xs)[:, 1]] * 2,
+                 is_constraint=True, threshold=0.0),
+    ]
+    rng = np.random.default_rng(3)
+    x_init = rng.uniform(size=(12, 2))
+    fid_init = np.concatenate([np.zeros(8), np.ones(4)]).astype(int)
+    config = BOConfig(
+        num_bo_iterations=2, num_epochs_1=5, num_epochs_2=8,
+        opt_grid_size=25, pareto_set_size=6, seed=2, acquisition="random",
+        log_dir=str(tmp_path), track_recommendation=True,
+        recommendation_grid_size=200, hv_reference=np.array([10.0, 10.0]),
+    )
+    state = run_bo_loop(blackboxes, x_init, fid_init, config)
+    assert state.x.shape[0] == 14
+    assert np.all(state.x[-2:] >= 0.0) and np.all(state.x[-2:] <= 1.0)
+    # pareto/cond phases skipped -> zero columns in phase_seconds.txt
+    rows = np.atleast_2d(np.loadtxt(tmp_path / "phase_seconds.txt"))
+    assert np.all(rows[:, 4] == 0.0) and np.all(rows[:, 5] == 0.0)
+    # recommendation scoring still ran (model-based, uses the trained fitter)
+    assert (tmp_path / "hypervolumes.txt").exists()
