@@ -72,6 +72,52 @@ def main():
         ref = np.array([10.0, 10.0])
         return hypervolume(vals, ref)
 
+    # Recommendation metric (same convention as the JESMOC loop's
+    # hypervolumes.txt, toy reference :533-614): model-feasible
+    # (P(c>=0) > 0.999) grid points, Pareto-culled by predicted high-fidelity
+    # means, evaluated on the TRUE functions; optimal HV from the true
+    # functions on the same fixed grid. Observed HV alone can stay flat when
+    # the cost-normalized acquisition prefers cheap low-fidelity evaluations,
+    # but the recommendation moves as the models learn from ANY fidelity.
+    grid = np.asarray(
+        np.random.default_rng(1234).uniform(size=(1024, 2)), dtype=np.float64
+    )
+    ref_pt = np.array([10.0, 10.0])
+
+    def _pareto_idx(v):
+        """Indices of non-dominated rows (minimization)."""
+        keep = []
+        for i in range(len(v)):
+            dominated = ((v <= v[i]).all(axis=1) & (v < v[i]).any(axis=1)).any()
+            if not dominated:
+                keep.append(i)
+        return np.asarray(keep, dtype=int)
+
+    true_feas = fns["con1"](grid, 1) >= 0.0
+    true_objs = np.stack([obj1(grid, 1), obj2(grid, 1)], axis=1)
+    _tf = true_objs[true_feas]
+    optimal_hv = float(hypervolume(_tf[_pareto_idx(_tf)], ref_pt))
+
+    def recommendation_hv(models, con_model):
+        from scipy.stats import norm
+
+        gj = jnp.asarray(grid)
+        mu1 = np.asarray(G.predict(models["obj1"], gj, 1)[0])
+        mu2 = np.asarray(G.predict(models["obj2"], gj, 1)[0])
+        muc, varc = G.predict(con_model, gj, 1)
+        p_feas = 1.0 - norm.cdf((0.0 - np.asarray(muc)) / np.sqrt(np.asarray(varc)))
+        feas = p_feas > 0.999
+        if not feas.any():
+            feas = p_feas >= p_feas.max()  # least-infeasible fallback
+        cand = np.where(feas)[0]
+        front = cand[_pareto_idx(np.stack([mu1[cand], mu2[cand]], axis=1))]
+        rec_x = grid[front]
+        ok = fns["con1"](rec_x, 1) >= 0.0
+        if not ok.any():
+            return 0.0
+        vals = np.stack([obj1(rec_x[ok], 1), obj2(rec_x[ok], 1)], axis=1)
+        return float(hypervolume(vals[_pareto_idx(vals)], ref_pt))
+
     # pad every iteration's data to ONE fixed shape for the whole campaign
     # (mfgp.PAD_PENALTY rows): every jitted program (fit scan, posterior
     # state, acquisition L-BFGS) compiles exactly once instead of once per
@@ -88,7 +134,7 @@ def main():
             return xf, valid
         return xf, valid, jnp.asarray(np.concatenate([y, np.zeros(target - n)]))
 
-    hvs = []
+    hvs, rec_hvs = [], []
     for it in range(args.iters):
         models, best = {}, {}
         for name in ("obj1", "obj2"):
@@ -123,9 +169,13 @@ def main():
 
         hv = observed_hv(x, fid)
         hvs.append(hv)
+        rec_hv = recommendation_hv(models, con_model)
+        rec_hvs.append(rec_hv)
         if args.log_dir:
             with open(os.path.join(args.log_dir, "observed_hypervolumes.txt"), "a") as fh:
                 fh.write(f"{hv}\n")
+            with open(os.path.join(args.log_dir, "hypervolumes.txt"), "a") as fh:
+                fh.write(f"{rec_hv} {optimal_hv}\n")
             with open(os.path.join(args.log_dir, "points_evaluated.txt"), "a") as fh:
                 fh.write(" ".join(str(v) for v in np.asarray(x_next)) + "\n")
             with open(os.path.join(args.log_dir, "fidelities_evaluated.txt"), "a") as fh:
@@ -135,6 +185,8 @@ def main():
     feas = np.array([fns["con1"](x[i : i + 1], 1)[0] for i in range(len(x))]) >= 0
     print(f"final: {len(x)} evaluations, {int((top & feas).sum())} feasible high-fidelity")
     print(f"observed HV trajectory: {[round(h, 4) for h in hvs]}")
+    print(f"recommendation HV trajectory (optimal {optimal_hv:.4f}): "
+          f"{[round(h, 4) for h in rec_hvs]}")
 
 
 if __name__ == "__main__":
