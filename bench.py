@@ -322,6 +322,20 @@ def main():
     err = _device_reachable()
     if err is not None:
         log(f"FATAL: device probe failed — {err}; aborting instead of hanging")
+        # still emit one parseable JSON line so the driver records WHY there
+        # is no measurement (value=null is honest: nothing was measured)
+        print(
+            json.dumps(
+                {
+                    "metric": "BO iteration wall-clock, full JESMOCMF settings "
+                    "(20k uncond + 15k cond + acq opt, m=128 both sides)",
+                    "value": None,
+                    "unit": "s/iteration (lower is better)",
+                    "vs_baseline": None,
+                    "error": f"device probe failed: {err}",
+                }
+            )
+        )
         sys.exit(2)
     torch_sps = bench_torch()
     jax_sps = bench_jax()
