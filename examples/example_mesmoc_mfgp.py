@@ -55,8 +55,17 @@ def main():
     x = np.vstack([rng.uniform(size=(n0, 2)), rng.uniform(size=(n1, 2))])
     fid = np.concatenate([np.zeros(n0), np.ones(n1)]).astype(int)
 
+    log_files = (
+        "observed_hypervolumes.txt", "recommendation_hv.txt",
+        "points_evaluated.txt", "fidelities_evaluated.txt",
+    )
     if args.log_dir:
         os.makedirs(args.log_dir, exist_ok=True)
+        # this demo has no resume/replay logic (unlike run_bo_loop): start
+        # every invocation with clean logs so a rerun after a timeout never
+        # appends a second campaign onto a partial one
+        for name in log_files:
+            open(os.path.join(args.log_dir, name), "w").close()
 
     def observed_hv(x, fid):
         """HV of feasible highest-fidelity observations (same convention as
@@ -72,8 +81,10 @@ def main():
         ref = np.array([10.0, 10.0])
         return hypervolume(vals, ref)
 
-    # Recommendation metric (same convention as the JESMOC loop's
-    # hypervolumes.txt, toy reference :533-614): model-feasible
+    # Recommendation metric (same RECOMMENDATION convention as the JESMOC
+    # loop, toy reference :533-614, but logged as a 2-column
+    # recommendation_hv.txt [rec_hv optimal_hv] — NOT the loop's 6-tuple
+    # hypervolumes.txt format): model-feasible
     # (P(c>=0) > 0.999) grid points, Pareto-culled by predicted high-fidelity
     # means, evaluated on the TRUE functions; optimal HV from the true
     # functions on the same fixed grid. Observed HV alone can stay flat when
@@ -84,14 +95,13 @@ def main():
     )
     ref_pt = np.array([10.0, 10.0])
 
+    from mobocmf_tpu.moop.moop import MOOP
+
     def _pareto_idx(v):
-        """Indices of non-dominated rows (minimization)."""
-        keep = []
-        for i in range(len(v)):
-            dominated = ((v <= v[i]).all(axis=1) & (v < v[i]).any(axis=1)).any()
-            if not dominated:
-                keep.append(i)
-        return np.asarray(keep, dtype=int)
+        """Indices of non-dominated rows (minimization) — delegates to the
+        canonical cull (moop.pareto_front_mask) so this metric and the JESMOC
+        loop's recommendation use the same dominance code."""
+        return np.where(MOOP.compute_pareto_front(np.asarray(v)))[0]
 
     true_feas = fns["con1"](grid, 1) >= 0.0
     true_objs = np.stack([obj1(grid, 1), obj2(grid, 1)], axis=1)
@@ -174,7 +184,7 @@ def main():
         if args.log_dir:
             with open(os.path.join(args.log_dir, "observed_hypervolumes.txt"), "a") as fh:
                 fh.write(f"{hv}\n")
-            with open(os.path.join(args.log_dir, "hypervolumes.txt"), "a") as fh:
+            with open(os.path.join(args.log_dir, "recommendation_hv.txt"), "a") as fh:
                 fh.write(f"{rec_hv} {optimal_hv}\n")
             with open(os.path.join(args.log_dir, "points_evaluated.txt"), "a") as fh:
                 fh.write(" ".join(str(v) for v in np.asarray(x_next)) + "\n")

@@ -43,6 +43,16 @@ class Random_choice:
     def coupled_acq(self, x: Array, fidelity: int) -> Array:
         return jax.random.uniform(self._next_key(), (x.shape[0],))
 
+    def get_batch_coupled(self, q: int, iteration=None, verbose=False):
+        """q iid uniform candidates at one sampled fidelity — the q>1 batch
+        analogue of get_nextpoint_coupled (mirrors JESMOC_MFDGP's
+        get_batch_coupled interface so BO loops can swap acquisitions)."""
+        x0, fidelity = self.get_nextpoint_coupled(iteration=iteration, verbose=verbose)
+        if q == 1:
+            return x0[None, :], fidelity
+        extra = jax.random.uniform(self._next_key(), (q - 1, self.input_size))
+        return jnp.vstack([x0[None, :], extra]), fidelity
+
     def get_nextpoint_coupled(self, iteration=None, verbose=False):
         probs = 1.0 - self.coupled_costs_fidelities / self.total_cost_fidelities
         nextpoint = jax.random.uniform(self._next_key(), (self.input_size,))

@@ -117,6 +117,21 @@ class BOConfig:
     # sampling + conditioned training phases are skipped)
     acquisition: str = "jesmoc"
 
+    def __post_init__(self):
+        # fail loudly on typos ('Random', 'random_choice', 'slsqp ') — a
+        # silently-ignored value would run the WRONG pipeline (e.g. a random
+        # baseline arm silently running full JESMOC invalidates an A/B)
+        if self.acquisition not in ("jesmoc", "random"):
+            raise ValueError(
+                f"BOConfig.acquisition must be 'jesmoc' or 'random', "
+                f"got {self.acquisition!r}"
+            )
+        if self.polish not in ("slsqp", "device", "none"):
+            raise ValueError(
+                f"BOConfig.polish must be 'slsqp', 'device' or 'none', "
+                f"got {self.polish!r}"
+            )
+
 
 @dataclasses.dataclass
 class BOState:
@@ -197,6 +212,19 @@ def run_bo_loop(
             )
 
     prev_fitter = None
+    # the random baseline needs no trained models unless something consumes
+    # them (recommendation scoring, param dumps, plots, warm start or
+    # checkpoints) — skipping the dominant train phase keeps the baseline
+    # arm's wall-clock proportional to what it actually computes
+    needs_models = (
+        config.acquisition != "random"
+        or config.track_recommendation
+        or config.dump_params
+        or config.plot_surfaces
+        or config.warm_start
+        or config.store_models_in_disk
+    )
+
     for it in range(start_iter, config.num_bo_iterations):
         import time as _time
 
@@ -217,7 +245,7 @@ def run_bo_loop(
         # try the checkpoint restore FIRST (both fitters or neither), before
         # paying for fitter construction + per-blackbox init it would discard
         loaded = False
-        if config.load_models_from_disk and models_dir is not None:
+        if config.load_models_from_disk and models_dir is not None and needs_models:
             try:
                 from mobocmf_tpu.util.checkpoint import restore_fitter
 
@@ -226,13 +254,21 @@ def run_bo_loop(
                 # the restored objects train/sample with the campaign's
                 # settings without manual re-application
                 f_u = restore_fitter(os.path.join(models_dir, "uncond"))
-                f_c = restore_fitter(os.path.join(models_dir, "cond"))
+                # random-mode checkpoints have no conditioned fitter to
+                # restore (store writes only 'uncond' when cond is None)
+                f_c = (
+                    restore_fitter(os.path.join(models_dir, "cond"))
+                    if config.acquisition != "random"
+                    else None
+                )
                 fitter, cond, loaded = f_u, f_c, True
                 print(f"[BO iter {it}] restored models from {models_dir}")
             except Exception as e:
                 print(f"[BO iter {it}] model restore failed ({e!r}); retraining")
                 loaded = False
-        if not loaded:
+        if not needs_models:
+            fitter, cond = None, None
+        elif not loaded:
             from mobocmf_tpu.models import mfdgp as _mfdgp_mod
 
             _mfdgp_mod.INIT_TIMINGS.clear()
@@ -323,15 +359,8 @@ def run_bo_loop(
             for bb in blackboxes:
                 for level in range(config.num_fidelities):
                     rc.add_blackbox(level, bb.name, cost_evaluation=bb.costs[level])
-            x_next, fid_next = rc.get_nextpoint_coupled(iteration=it, verbose=True)
-            x_next = np.asarray(x_next, dtype=float).reshape(1, d)
-            if config.q > 1:
-                # q iid uniform candidates at the sampled fidelity
-                extra = np.asarray(
-                    jax.random.uniform(rc._next_key(), (config.q - 1, d)),
-                    dtype=float,
-                )
-                x_next = np.vstack([x_next, extra])
+            x_next, fid_next = rc.get_batch_coupled(config.q, iteration=it, verbose=True)
+            x_next = np.asarray(x_next, dtype=float).reshape(config.q, d)
         else:
             jes = JESMOC_MFDGP(
                 model=fitter, num_fidelities=config.num_fidelities, model_cond=cond,
@@ -388,7 +417,7 @@ def run_bo_loop(
                 f"(feasible={rec.feasible}, dropped={rec.num_infeasible})"
             )
 
-        if config.plot_surfaces and log_dir is not None and cond is not None:
+        if config.plot_surfaces and log_dir is not None and fitter is not None:
             try:
                 plot_iteration_surfaces(
                     os.path.join(log_dir, "plots"), it, fitter, cond, blackboxes,
@@ -486,6 +515,12 @@ def plot_iteration_surfaces(
     fig.tight_layout()
     fig.savefig(os.path.join(plot_dir, f"predictive_iter{it}.pdf"))
     plt.close(fig)
+
+    if cond is None:
+        # no conditioned model (acquisition='random') — the predictive
+        # surfaces above are still produced; only the JES acquisition
+        # figure needs cond
+        return
 
     jes = JESMOC_MFDGP(
         model=fitter, num_fidelities=nf, model_cond=cond, seed=config.seed + it

@@ -278,7 +278,7 @@ def test_bo_loop_random_acquisition_baseline(tmp_path):
     config = BOConfig(
         num_bo_iterations=2, num_epochs_1=5, num_epochs_2=8,
         opt_grid_size=25, pareto_set_size=6, seed=2, acquisition="random",
-        log_dir=str(tmp_path), track_recommendation=True,
+        log_dir=str(tmp_path), track_recommendation=True, plot_surfaces=True,
         recommendation_grid_size=200, hv_reference=np.array([10.0, 10.0]),
     )
     state = run_bo_loop(blackboxes, x_init, fid_init, config)
@@ -289,3 +289,86 @@ def test_bo_loop_random_acquisition_baseline(tmp_path):
     assert np.all(rows[:, 4] == 0.0) and np.all(rows[:, 5] == 0.0)
     # recommendation scoring still ran (model-based, uses the trained fitter)
     assert (tmp_path / "hypervolumes.txt").exists()
+    # predictive surfaces are plotted without a conditioned model; only the
+    # JES acquisition figure (which needs cond) is skipped
+    assert (tmp_path / "plots" / "predictive_iter0.pdf").exists()
+    assert not (tmp_path / "plots" / "acquisition_iter0.pdf").exists()
+
+
+def test_boconfig_validates_acquisition_and_polish():
+    """Typos must fail loudly — a silently-ignored acquisition value would
+    run the full JESMOC pipeline in a supposed random-baseline arm."""
+    import pytest
+
+    from mobocmf_tpu.bo.loop import BOConfig
+
+    with pytest.raises(ValueError, match="acquisition"):
+        BOConfig(acquisition="Random")
+    with pytest.raises(ValueError, match="polish"):
+        BOConfig(polish="slsqp ")
+    BOConfig(acquisition="random", polish="none")  # valid combos pass
+
+
+def test_random_without_consumers_skips_model_training(monkeypatch):
+    """acquisition='random' with nothing consuming the models (no
+    recommendation/plots/dumps/warm start/checkpoints) must not pay for
+    MFDGP construction or training at all."""
+    import mobocmf_tpu.bo.loop as bo_loop
+
+    def _boom(*a, **k):
+        raise AssertionError("BlackBoxMFDGPFitter constructed in pure random mode")
+
+    monkeypatch.setattr(bo_loop, "BlackBoxMFDGPFitter", _boom)
+
+    def f(xs):
+        xs = np.atleast_2d(xs)
+        return xs[:, 0] ** 2 + xs[:, 1] ** 2
+
+    blackboxes = [
+        bo_loop.Blackbox("obj1", [f, f]),
+        bo_loop.Blackbox("obj2", [f, f]),
+    ]
+    rng = np.random.default_rng(1)
+    config = bo_loop.BOConfig(
+        num_bo_iterations=2, seed=0, acquisition="random",
+        hv_reference=np.array([10.0, 10.0]),
+    )
+    state = bo_loop.run_bo_loop(
+        blackboxes, rng.uniform(size=(6, 2)),
+        np.array([0, 0, 0, 0, 1, 1]), config,
+    )
+    assert state.x.shape[0] == 8
+
+
+def test_random_checkpoint_store_then_restore(tmp_path, capsys):
+    """store_models_in_disk in random mode writes only the unconditioned
+    fitter; a later load_models_from_disk run must restore it (not fail on
+    the absent 'cond' checkpoint and silently retrain every iteration)."""
+    from mobocmf_tpu.bo.loop import Blackbox, BOConfig, run_bo_loop
+
+    def f(xs):
+        xs = np.atleast_2d(xs)
+        return (xs[:, 0] - 0.3) ** 2 + xs[:, 1] ** 2
+
+    blackboxes = [Blackbox("obj1", [f, f]), Blackbox("obj2", [f, f])]
+    rng = np.random.default_rng(2)
+    x_init = rng.uniform(size=(8, 2))
+    fid_init = np.array([0, 0, 0, 0, 0, 0, 1, 1])
+    common = dict(
+        num_bo_iterations=2, num_epochs_1=4, num_epochs_2=6,
+        opt_grid_size=25, pareto_set_size=6, seed=5, acquisition="random",
+        log_dir=str(tmp_path), track_recommendation=True,
+        recommendation_grid_size=100, hv_reference=np.array([10.0, 10.0]),
+    )
+    run_bo_loop(blackboxes, x_init, fid_init,
+                BOConfig(store_models_in_disk=True, **common))
+    # wipe the txt logs (else the second run resumes past both iterations)
+    # but keep models/ so the restore path is exercised
+    for p in tmp_path.glob("*.txt"):
+        p.unlink()
+    capsys.readouterr()
+    run_bo_loop(blackboxes, x_init, fid_init,
+                BOConfig(load_models_from_disk=True, **common))
+    out = capsys.readouterr().out
+    assert out.count("restored models from") == 2
+    assert "restore failed" not in out

@@ -141,6 +141,12 @@ def test_random_choice_baseline():
     assert counts[0] > counts[1]
     acq = rc.coupled_acq(jnp.ones((5, 3)), 0)
     assert acq.shape == (5,)
+    # public q>1 batch API (used by bo/loop's acquisition='random' path)
+    xb, fb = rc.get_batch_coupled(4)
+    assert xb.shape == (4, 3) and 0 <= fb < 2
+    assert np.all((np.asarray(xb) >= 0) & (np.asarray(xb) <= 1))
+    x1, _ = rc.get_batch_coupled(1)
+    assert x1.shape == (1, 3)
 
 
 def test_mfgp_posterior_state_matches_stateless():
