@@ -16,6 +16,7 @@ pick (same multi-start L-BFGS engine as the q=1 path).
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 from typing import Callable, Tuple
 
@@ -67,11 +68,14 @@ def optimize_acqf_batch(
 
     # jit cache keyed by (acq_fn identity, statics): repeated calls with a
     # STABLE acq_fn (module-level function, params threaded via its tree)
-    # reuse one executable. Per-call closures get no reuse by construction —
-    # the bounded FIFO eviction keeps those from pinning stale params and
-    # executables forever. (The production q>1 path does not come through
-    # here: jesmoc.optimize_coupled_jes_penalized is module-level jitted.)
-    cache_key = (acq_fn, input_dim, num_restarts, raw_samples, maxiter, rho, dtype)
+    # reuse one executable. Per-call closures get no reuse by construction,
+    # and their entries (which pin the params captured in the closure) are
+    # dropped the moment the closure is garbage-collected via
+    # weakref.finalize; the bounded FIFO eviction remains as a backstop for
+    # non-weakrefable callables. (The production q>1 path does not come
+    # through here: jesmoc.optimize_coupled_jes_penalized is module-level
+    # jitted.)
+    cache_key = (id(acq_fn), input_dim, num_restarts, raw_samples, maxiter, rho, dtype)
     if cache_key not in _PICK_CACHE:
         while len(_PICK_CACHE) >= _PICK_CACHE_MAX:
             _PICK_CACHE.pop(next(iter(_PICK_CACHE)))
@@ -82,6 +86,13 @@ def optimize_acqf_batch(
                 maxiter=maxiter, rho=rho, dtype=dtype,
             )
         )
+        try:
+            # id() cannot be reused before the object is freed, and finalize
+            # callbacks run at free time — so the pop always precedes any
+            # id collision with a new callable
+            weakref.finalize(acq_fn, _PICK_CACHE.pop, cache_key, None)
+        except TypeError:  # e.g. a C callable without weakref support
+            pass
     opt = _PICK_CACHE[cache_key]
     for k in range(q):
         key, kk = jax.random.split(key)

@@ -206,10 +206,19 @@ def run_bo_loop(
             # resuming a log dir with missing/short observed-HV history (a
             # crash between the points append and the HV append loses the
             # TAIL entry): pad with NaN at the END so the recorded entries
-            # keep their original iteration indices
-            state.hypervolumes = state.hypervolumes + [float("nan")] * (
-                start_iter - len(state.hypervolumes)
+            # keep their original iteration indices. NOTE: this alignment
+            # assumes the log was written by this code (HV appended every
+            # iteration from iteration 0). A dir whose recorded entries do
+            # NOT start at iteration 0 would need head-padding instead —
+            # say so in the resume message so a misaligned trajectory is
+            # diagnosable from the log.
+            missing = start_iter - len(state.hypervolumes)
+            print(
+                f"[resume] observed-HV history is {missing} entries short; "
+                "NaN-padding the tail (recorded entries are assumed to "
+                "start at iteration 0)"
             )
+            state.hypervolumes = state.hypervolumes + [float("nan")] * missing
 
     prev_fitter = None
     # the random baseline needs no trained models unless something consumes

@@ -47,7 +47,14 @@ def median_lengthscale_np(x) -> "np.ndarray":
     sq = np.sum(x**2, axis=1, keepdims=True)
     d2 = sq - 2.0 * (x @ x.T) + sq.T
     iu, ju = np.triu_indices(n, k=1)
-    return np.sqrt(np.median(d2[iu, ju]))
+    vals = d2[iu, ju]
+    if vals.size == 0:
+        # single-row subset: no pairwise distances; neutral unit lengthscale
+        return np.asarray(1.0)
+    # the expansion trick can go slightly negative for duplicate/near-duplicate
+    # rows; clamp like cdist does so sqrt cannot return NaN into kernel init
+    med = np.maximum(np.median(vals), 0.0)
+    return np.sqrt(med) if med > 0.0 else np.asarray(1.0)
 
 
 def cdist(x1: Array, x2: Array) -> Array:

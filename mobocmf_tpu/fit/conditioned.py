@@ -333,6 +333,32 @@ train_conditioned_jit = jax.jit(
 )
 
 
+def _check_shared_inducing(obj_consts, con_consts) -> None:
+    """Host-side value check of the obj/con shared-z_x fusion contract.
+
+    `conditioned_loss` fuses objective and constraint models into one stacked
+    computation, which is only correct when both groups share the SAME
+    inducing inputs (coupled-evaluation contract, reference
+    blackbox_mfdgp_fitter.py:87-91). Inside the jit only shapes are
+    checkable; here the consts are concrete, so compare values — constraint
+    models fit on different inducing inputs with identical (bucketed) shapes
+    would otherwise silently reuse the objectives' states.
+    """
+    if con_consts is None:
+        return
+    import numpy as np
+
+    for ell, (zo, zc) in enumerate(zip(obj_consts.z_x, con_consts.z_x)):
+        if zo.shape != zc.shape or not np.array_equal(
+            np.asarray(zo), np.asarray(zc)
+        ):
+            raise ValueError(
+                "conditioned training requires objective and constraint models "
+                f"with identical inducing inputs; layer {ell} differs "
+                f"(shapes {zo.shape} vs {zc.shape})"
+            )
+
+
 def train_conditioned_chunked(
     obj_params,
     con_params,
@@ -348,6 +374,7 @@ def train_conditioned_chunked(
 ):
     """Bounded-program chunking of the conditioned phase (single XLA programs
     running longer than ~2 min crash the axon TPU worker)."""
+    _check_shared_inducing(obj_consts, con_consts)
     c = trainer.chunk_size_for(data.x.shape[0])
     sizes = [c] * (num_iters // c)
     if num_iters % c:

@@ -16,7 +16,7 @@ computation statically shaped (jit/pjit friendly).
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, List, NamedTuple, Optional, Sequence
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -87,8 +87,12 @@ def pareto_front_mask(pts: Array, valid: Array, chunk: int = 128) -> Array:
 @partial(jax.jit, static_argnames=("size",))
 def summarize_pareto(
     pareto_set: Array, pareto_front: Array, mask: Array, size: int
-) -> ParetoSolution:
+) -> Tuple[Array, Array, Array]:
     """Min-max summary in objective space (reference moop.py:187-219).
+
+    Returns ``(chosen_set (size, d), chosen_front (size, k), valid (size,))``
+    — a plain tuple, not a :class:`ParetoSolution` (no ``num_valid`` scalar;
+    this runs under ``jit`` where that count is a traced value).
 
     Seeds with each objective's argmin, then greedily adds the point farthest
     (in front-space distance) from the chosen set. Runs on the full masked

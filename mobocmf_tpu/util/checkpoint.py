@@ -13,7 +13,9 @@ orbax is the durable format for long BO campaigns.
 
 from __future__ import annotations
 
+import inspect
 import os
+import warnings
 
 import jax
 import numpy as np
@@ -98,7 +100,19 @@ def restore_fitter(path: str, fitter_cls=None):
     for k in ("num_epochs_1", "num_epochs_2", "pareto_set_size", "opt_grid_size"):
         if k in hyper:
             hyper[k] = int(hyper[k])
-    fitter = (fitter_cls or BlackBoxMFDGPFitter)(
+    cls = fitter_cls or BlackBoxMFDGPFitter
+    # a fitter_cls override (or a future renamed constructor arg) must not
+    # make new-format checkpoints unrestorable: drop unknown hyper keys
+    # with a warning instead of raising TypeError
+    accepted = set(inspect.signature(cls.__init__).parameters)
+    unknown = [k for k in hyper if k not in accepted]
+    if unknown:
+        warnings.warn(
+            f"restore_fitter: dropping saved hyperparameters not accepted by "
+            f"{cls.__name__}.__init__: {sorted(unknown)}"
+        )
+        hyper = {k: v for k, v in hyper.items() if k in accepted}
+    fitter = cls(
         num_fidelities=int(meta["num_fidelities"]),
         batch_size=int(meta["batch_size"]),
         **hyper,

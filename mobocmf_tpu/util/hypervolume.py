@@ -3,9 +3,11 @@
 The reference imports pymoo's HV inside its example
 (/root/reference/examples/toy_synthetic_2D_JESMOCMF/toy_synthetic_2D_JESMOCMF.py:533)
 solely to score BO progress. pymoo is not available here; we provide an exact
-sweep algorithm for 2 objectives (the reference's example dimensionality), an
-exact WFG-style recursion for small fronts in any dimension, and a Monte-Carlo
-estimator fallback for large high-dimensional fronts.
+sweep algorithm for 2 objectives (the reference's example dimensionality) and
+the exact WFG algorithm (While, Bradstreet & Barone 2012: exclusive-contribution
+recursion over limit sets) for any higher dimensionality, so campaign metrics
+are never Monte-Carlo noisy. `hypervolume_mc` remains available purely as an
+independent estimator for agreement tests.
 """
 
 from __future__ import annotations
@@ -43,7 +45,7 @@ def hypervolume_2d(points: np.ndarray, ref: np.ndarray) -> float:
 
 
 def _hv_recursive(pts: np.ndarray, ref: np.ndarray) -> float:
-    """Exact HV by dimension-sweep recursion (fine for small fronts)."""
+    """Exact HV by dimension-sweep recursion (kept for cross-checking WFG)."""
     k = pts.shape[1]
     if k == 2:
         return hypervolume_2d(pts, ref)
@@ -62,21 +64,77 @@ def _hv_recursive(pts: np.ndarray, ref: np.ndarray) -> float:
     return hv
 
 
-def hypervolume(points: np.ndarray, ref: np.ndarray, mc_samples: int = 200_000, seed: int = 0) -> float:
-    """Hypervolume of the region dominated by `points` and bounded by `ref`."""
+def _wfg(pts: np.ndarray, ref: np.ndarray) -> float:
+    """Exact WFG hypervolume of a mutually nondominated set `pts` (< ref).
+
+    HV(S) = sum_i exclhv(p_i, S_{>i}) with
+    exclhv(p, S) = vol(box(p, ref)) - HV({max(p, s) : s in S} pareto-filtered),
+    the exclusive-contribution recursion of While, Bradstreet & Barone (2012).
+    Points are pre-sorted by the first objective so limit sets collapse fast;
+    dominated limit points are pruned before recursing, which is what keeps
+    the recursion polynomial in practice for the 4-objective campaign fronts
+    (hundreds of points) that previously fell back to Monte Carlo.
+    """
+    if pts.shape[1] == 2:
+        return hypervolume_2d(pts, ref)
+    order = np.argsort(pts[:, 0])
+    pts = pts[order]
+    hv = 0.0
+    for i in range(pts.shape[0]):
+        p = pts[i]
+        box = float(np.prod(ref - p))
+        rest = pts[i + 1 :]
+        if rest.shape[0] == 0:
+            hv += box
+            continue
+        limit = np.maximum(rest, p)
+        keep = np.ones(limit.shape[0], dtype=bool)
+        for j in range(limit.shape[0]):
+            if not keep[j]:
+                continue
+            dom = (
+                keep
+                & np.all(limit <= limit[j], axis=1)
+                & np.any(limit < limit[j], axis=1)
+            )
+            if dom.any():
+                keep[j] = False
+        limit = limit[keep]
+        hv += box - _wfg(limit, ref)
+    return hv
+
+
+def hypervolume(points: np.ndarray, ref: np.ndarray) -> float:
+    """Exact hypervolume of the region dominated by `points`, bounded by `ref`.
+
+    Exact in every dimensionality: 2-objective sweep, WFG recursion otherwise.
+    """
     points = np.atleast_2d(np.asarray(points, dtype=float))
     ref = np.asarray(ref, dtype=float)
     pts = _pareto_filter(points, ref)
     if pts.shape[0] == 0:
         return 0.0
-    k = pts.shape[1]
-    if k == 2:
+    if pts.shape[1] == 2:
         return hypervolume_2d(pts, ref)
-    if pts.shape[0] <= 64 and k <= 5:
-        return float(_hv_recursive(pts, ref))
-    # Monte-Carlo fallback
+    return float(_wfg(pts, ref))
+
+
+def hypervolume_mc(
+    points: np.ndarray, ref: np.ndarray, mc_samples: int = 200_000, seed: int = 0
+) -> float:
+    """Monte-Carlo HV estimator — independent cross-check for the exact path.
+
+    Not used for campaign metrics (the exact WFG path replaced the old
+    size-thresholded fallback); kept for agreement tests and sanity checks.
+    """
+    points = np.atleast_2d(np.asarray(points, dtype=float))
+    ref = np.asarray(ref, dtype=float)
+    pts = _pareto_filter(points, ref)
+    if pts.shape[0] == 0:
+        return 0.0
     lo = pts.min(axis=0)
     rng = np.random.default_rng(seed)
+    k = pts.shape[1]
     u = rng.uniform(size=(mc_samples, k)) * (ref - lo) + lo
     dominated = np.zeros(mc_samples, dtype=bool)
     for p in pts:

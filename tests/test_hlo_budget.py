@@ -108,3 +108,69 @@ def test_conditioned_step_factorization_budget(problem):
     # recomputation (the pre-hoist state: 3 state computations per model).
     assert _count(txt, "lapack_spotrf") <= 6
     assert _count(txt, "lapack_strsm") <= 42
+
+
+def _hlo_computations(txt: str):
+    """Parse HLO text into {computation_name: body_text}."""
+    comps = {}
+    cur, buf = None, []
+    for line in txt.splitlines():
+        m = re.match(r"^(?:ENTRY )?%?([\w\.\-]+) (?:\([^)]*\) -> .*)?\{", line)
+        if m:
+            cur, buf = m.group(1), []
+        elif cur is not None:
+            if line.startswith("}"):
+                comps[cur] = "\n".join(buf)
+                cur = None
+            else:
+                buf.append(line)
+    return comps
+
+
+def _transitive_calls(comps, roots):
+    """All computations reachable from `roots` via any %name reference."""
+    names = set(comps)
+    seen, stack = set(), list(roots)
+    while stack:
+        c = stack.pop()
+        if c in seen or c not in comps:
+            continue
+        seen.add(c)
+        for ref in re.findall(r"%([\w\.\-]+)", comps[c]):
+            if ref in names and ref not in seen:
+                stack.append(ref)
+    return seen
+
+
+def test_fused_acquisition_cholesky_hoisted_out_of_lbfgs(problem):
+    """The fused all-fidelity acquisition program factors every inducing
+    chain ONCE, outside the L-BFGS while loops (round-3 redesign; 5.9 s vs
+    ~19 s late-campaign acq phase). A plain op count cannot catch a hoist
+    regression — a while body is traced once in the program text — so this
+    asserts no while-loop body (transitively) contains a Cholesky. Solves
+    against the test inputs (k_zx) legitimately stay inside the loop.
+    """
+    from mobocmf_tpu.acquisition import jesmoc
+
+    n, d, x, fid, mk = problem
+    up, uc, cfg = T.stack_models([mk(0), mk(1)])
+    cp, cc, _ = T.stack_models([mk(5), mk(6)])
+    txt = (
+        jesmoc.optimize_coupled_jes_all_fidelities.lower(
+            up, uc, cp, cc, cfg, jax.random.key(0), d,
+            num_restarts=2, raw_samples=16, maxiter=10,
+        )
+        .compile()
+        .as_text()
+    )
+    # 2 groups x 2 layers x (1 happy + 2 untaken rescue) = 12 in the program
+    assert _count(txt, "lapack_spotrf") <= 12
+    comps = _hlo_computations(txt)
+    bodies = re.findall(r"body=%?([\w\.\-]+)", txt)
+    assert bodies, "no while loops found — L-BFGS lowering changed; re-derive"
+    inside = _transitive_calls(comps, bodies)
+    offenders = [c for c in inside if "lapack_spotrf" in comps.get(c, "")]
+    assert not offenders, (
+        f"Cholesky factorization inside L-BFGS while body: {offenders} — "
+        "the inducing-chain states are being recomputed every iteration"
+    )

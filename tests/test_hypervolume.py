@@ -33,13 +33,49 @@ def test_hv_3d_exact():
     np.testing.assert_allclose(hypervolume(pts, np.array([1.0, 1.0, 1.0])), 0.625)
 
 
+def test_hv_wfg_matches_dimension_sweep():
+    # two independent exact algorithms must agree to float precision
+    from mobocmf_tpu.util.hypervolume import _hv_recursive, _pareto_filter
+
+    rng = np.random.default_rng(0)
+    for k in (3, 4, 5):
+        pts = rng.uniform(size=(40, k)) * 0.8
+        ref = np.ones(k)
+        exact_sweep = _hv_recursive(_pareto_filter(pts, ref), ref)
+        np.testing.assert_allclose(hypervolume(pts, ref), exact_sweep, rtol=1e-12)
+
+
 def test_hv_mc_close_to_exact():
+    from mobocmf_tpu.util.hypervolume import hypervolume_mc
+
     rng = np.random.default_rng(0)
     pts = rng.uniform(size=(100, 4)) * 0.8
     ref = np.ones(4)
-    hv_mc = hypervolume(pts, ref, mc_samples=400_000)
-    # exact via recursion on the pareto subset (front is small after filtering)
-    from mobocmf_tpu.util.hypervolume import _hv_recursive, _pareto_filter
+    hv_mc = hypervolume_mc(pts, ref, mc_samples=400_000)
+    np.testing.assert_allclose(hv_mc, hypervolume(pts, ref), rtol=0.05)
 
-    exact = _hv_recursive(_pareto_filter(pts, ref), ref)
-    np.testing.assert_allclose(hv_mc, exact, rtol=0.05)
+
+def test_hv_large_4objective_front_is_exact_and_fast():
+    # a DTLZ2-like 4-objective front larger than the old 64-point exact
+    # threshold: previously MC-estimated (noisy), now exact WFG
+    import time
+
+    rng = np.random.default_rng(1)
+    raw = np.abs(rng.normal(size=(300, 4)))
+    pts = 0.9 * raw / np.linalg.norm(raw, axis=1, keepdims=True)  # sphere front
+    ref = np.ones(4)
+    t0 = time.time()
+    hv = hypervolume(pts, ref)
+    elapsed = time.time() - t0
+    from mobocmf_tpu.util.hypervolume import hypervolume_mc
+
+    np.testing.assert_allclose(hypervolume_mc(pts, ref, mc_samples=400_000), hv, rtol=0.05)
+    assert 0.0 < hv < 1.0
+    assert elapsed < 60.0
+
+
+def test_hv_duplicate_points():
+    pts = np.array([[0.2, 0.2, 0.2], [0.2, 0.2, 0.2], [0.1, 0.5, 0.5]])
+    ref = np.ones(3)
+    single = hypervolume(np.array([[0.2, 0.2, 0.2], [0.1, 0.5, 0.5]]), ref)
+    np.testing.assert_allclose(hypervolume(pts, ref), single, rtol=1e-12)
