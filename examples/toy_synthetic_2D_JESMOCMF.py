@@ -75,7 +75,13 @@ def main():
                         help="whitened inducing-point parameterization (the "
                         "BASELINE north-star redesign of the reference's "
                         "unwhitened strategy, mfdgp_hidden_layer.py:141-146)")
+    parser.add_argument("--seed", type=int, default=SEED,
+                        help="campaign seed: problem draw (calibrated prior "
+                        "sample), initial design, and BO loop. Default is "
+                        "the reference's SEED=4 (toy:22); other values give "
+                        "replicate campaigns for A/B statistics")
     args = parser.parse_args()
+    seed = args.seed
 
     import jax
     import jax.numpy as jnp
@@ -91,8 +97,8 @@ def main():
     # explicitly-seeded numpy Generator — identical campaigns from identical
     # SEED with no global-RNG coupling (reference splits this across torch
     # and numpy globals, toy:22-23)
-    reset_random_state(SEED)  # reference-parity global seeding (util.py:70-72)
-    objs, cons = sample_problem(jax.random.key(SEED))
+    reset_random_state(seed)  # reference-parity global seeding (util.py:70-72)
+    objs, cons = sample_problem(jax.random.key(seed))
 
     def make_fns(sample):
         return [
@@ -110,11 +116,11 @@ def main():
     ]
 
     n_low, n_high = 10, 5
-    x_init = np.random.default_rng(SEED).uniform(size=(n_low + n_high, 2))
+    x_init = np.random.default_rng(seed).uniform(size=(n_low + n_high, 2))
     fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
 
     common = dict(
-        num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
+        num_bo_iterations=args.iters, seed=seed, log_dir=args.log_dir,
         eval_highest_fidelity=args.eval_highest_fidelity,
         track_recommendation=args.track_recommendation,
         dump_params=args.dump_params, plot_surfaces=args.plots,
