@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from mobocmf_tpu.acquisition.optimize import optimize_acqf_box
+from mobocmf_tpu.util import heartbeat
 
 Array = jnp.ndarray
 
@@ -99,6 +100,7 @@ def optimize_acqf_batch(
         x_k, v_k = opt(chosen, kk)
         chosen = chosen.at[k].set(x_k)
         values = values.at[k].set(v_k)
+        heartbeat.beat(f"batch:pick{k}")
     return chosen, values
 
 

@@ -27,6 +27,7 @@ import numpy as np
 from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
 from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
 from mobocmf_tpu.models.mfdgp import TL
+from mobocmf_tpu.util import heartbeat
 from mobocmf_tpu.util.hypervolume import hypervolume
 
 
@@ -116,6 +117,14 @@ class BOConfig:
     # are still trained so recommendation scoring works, but the Pareto
     # sampling + conditioned training phases are skipped)
     acquisition: str = "jesmoc"
+    # in-process stall watchdog (util/heartbeat.py): if no host-side progress
+    # beat lands for this many seconds, print the hung phase and os._exit(86)
+    # so the queue runner can retry from the resume-safe log dir. Defends
+    # against the axon-tunnel failure mode where an in-flight device RPC
+    # never returns (round-3 outage froze a campaign mid-Pareto-phase
+    # forever). None (default) = disarmed; the MOBOCMF_STALL_TIMEOUT_S env
+    # var supplies a value when the config leaves it unset.
+    stall_timeout_s: Optional[float] = None
 
     def __post_init__(self):
         # fail loudly on typos ('Random', 'random_choice', 'slsqp ') — a
@@ -159,6 +168,15 @@ def run_bo_loop(
     log_dir = config.log_dir
     x = np.asarray(x_init, dtype=float)
     fid = np.asarray(fidelities_init, dtype=int).reshape(-1)
+
+    # stall watchdog (tunnel-outage defense): BOConfig value, else env var
+    stall_s = config.stall_timeout_s
+    if stall_s is None:
+        env_stall = os.environ.get("MOBOCMF_STALL_TIMEOUT_S", "")
+        stall_s = float(env_stall) if env_stall else None
+    if stall_s:
+        heartbeat.start(float(stall_s))
+        print(f"[watchdog] armed: stall timeout {stall_s:.0f}s")
 
     # resume from logs if present (reference toy:277-301)
     start_iter = 0
@@ -307,6 +325,7 @@ def run_bo_loop(
                 )
             # setup = fitter construction + per-blackbox model init
             phase_t["setup"] = _time.time() - t_iter
+            heartbeat.beat(f"iter{it}:setup")
             if log_dir is not None:
                 # attribute setup time: warm-start fetch (device->host tunnel
                 # read), host-CPU init math, ship-out transfer, and the
@@ -324,6 +343,7 @@ def run_bo_loop(
             t0 = _time.time()
             fitter.train_mfdgps()
             phase_t["train"] = _time.time() - t0
+            heartbeat.beat(f"iter{it}:train")
             if config.acquisition == "random":
                 # the random baseline needs no conditioning — models are kept
                 # for recommendation scoring only
@@ -333,9 +353,11 @@ def run_bo_loop(
                 cond = fitter.copy_uncond()
                 cond.sample_and_store_pareto_solution()
                 phase_t["pareto"] = _time.time() - t0
+                heartbeat.beat(f"iter{it}:pareto")
                 t0 = _time.time()
                 cond.train_conditioned_mfdgps()
                 phase_t["cond"] = _time.time() - t0
+                heartbeat.beat(f"iter{it}:cond")
             if config.store_models_in_disk and models_dir is not None:
                 from mobocmf_tpu.util.checkpoint import save_fitter
 
@@ -392,6 +414,7 @@ def run_bo_loop(
                 xs_batch = jes.get_batch_coupled(fid_next, config.q - 1, x0=x_next)
                 x_next = np.vstack([x_next, np.asarray(xs_batch, dtype=float)])
         phase_t["acq"] = _time.time() - t0
+        heartbeat.beat(f"iter{it}:acq")
         fid_batch = np.full(x_next.shape[0], fid_next, dtype=int)
 
         y_next = eval_all(x_next, fid_batch)
@@ -420,6 +443,7 @@ def run_bo_loop(
                 grid_size=config.recommendation_grid_size, seed=config.seed + it,
             )
             phase_t["recommend"] = _time.time() - t0
+            heartbeat.beat(f"iter{it}:recommend")
             print(
                 f"[BO iter {it}] recommended {rec.num_points_final} points, "
                 f"HV={rec.hv:.6f} / optimal {rec.hv_optimal:.6f} "

@@ -36,6 +36,7 @@ from jax.scipy.stats import norm
 from mobocmf_tpu.fit import trainer
 from mobocmf_tpu.mlls.elbo import elbo_terms, elbo_data_term
 from mobocmf_tpu.models import mfdgp as M
+from mobocmf_tpu.util import heartbeat
 
 Array = jnp.ndarray
 
@@ -389,4 +390,5 @@ def train_conditioned_chunked(
             opt_state,
         )
         losses.append(ls)
+        heartbeat.beat(f"cond:chunk{ci}")
     return op, cp, jnp.concatenate(losses)

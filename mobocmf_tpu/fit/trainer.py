@@ -32,6 +32,7 @@ import optax
 
 from mobocmf_tpu.mlls.elbo import elbo_terms
 from mobocmf_tpu.models import mfdgp as M
+from mobocmf_tpu.util import heartbeat
 
 Array = jnp.ndarray
 
@@ -480,6 +481,7 @@ def train_phase_stacked_chunked(
             mask_kind, batch_size, row_weights, num_data, opt_states,
         )
         logs.append(lg)
+        heartbeat.beat(f"train:chunk{ci}")
     log = EpochLog(
         loss=jnp.concatenate([l.loss for l in logs], axis=1),
         kl=jnp.concatenate([l.kl for l in logs], axis=1),
