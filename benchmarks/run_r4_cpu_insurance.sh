@@ -11,38 +11,14 @@
 #                  iterations now exceed the old 1h chunk budget
 #   4. dtlz2f      DTLZ2@2048 fast, 2 iters
 # Every chunk re-probes the tunnel and yields to the TPU queue on success.
-# NEW vs r3: stuck detection — two consecutive chunks with zero iteration
-# progress skip the job instead of burning the core forever (the r3 q16 job
-# wedged overnight exactly this way).
+# Zero-progress stuck detection and the shared chunk protocol live in
+# queue_lib.sh (the r3 q16 job wedged overnight on exactly the
+# no-stuck-detection failure mode).
 set -u
 cd "$(dirname "$0")/.."
-
-probe() { timeout 60 python -c "import jax, jax.numpy as jnp; jnp.ones((4,4)).block_until_ready()" 2>/dev/null; }
-status() { echo "$(date '+%F %T') [cpu-r4] $*" >> /tmp/r4_queue_status; }
-
-# run_chunked name script dir target chunk tmo extra_args...
-run_chunked () {
-  local name=$1 script=$2 dir=$3 target=$4 chunk=$5 tmo=$6; shift 6
-  local extra="$*"
-  local stuck=0 prev=-1
-  while :; do
-    local done_iters
-    done_iters=$(wc -l < "$dir/iteration_seconds.txt" 2>/dev/null || echo 0)
-    if [ "$done_iters" -ge "$target" ]; then status "$name done ($done_iters iters)"; return 0; fi
-    if probe; then status "tunnel up; yielding $name after $done_iters iters"; return 1; fi
-    if [ "$done_iters" -eq "$prev" ]; then stuck=$((stuck + 1)); else stuck=0; fi
-    if [ "$stuck" -ge 2 ]; then status "$name STUCK at $done_iters iters; skipping"; return 0; fi
-    prev=$done_iters
-    local next=$((done_iters + chunk)); [ "$next" -gt "$target" ] && next=$target
-    timeout "$tmo" python -u -c "
-import jax; jax.config.update('jax_platforms','cpu')
-import runpy, sys
-sys.argv=['$script','--iters','$next','--track-recommendation','--log-dir','$dir'] + '$extra'.split()
-runpy.run_path('examples/$script', run_name='__main__')
-" >> "/tmp/r4_${name}_cpu.log" 2>&1
-    status "$name chunk rc=$? (target $next)"
-  done
-}
+STATUS_TAG=cpu-r4
+. benchmarks/queue_lib.sh
+echo $$ > /tmp/r4_cpu_runner.pid
 
 status "cpu insurance start"
 run_chunked toyw toy_synthetic_2D_JESMOCMF.py \

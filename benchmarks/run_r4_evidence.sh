@@ -1,6 +1,6 @@
 #!/bin/bash
 # Round-4 TPU evidence queue. Successor of run_r3_evidence_v2.sh, which spent
-# all of round 3 waiting on the ~30h+ axon tunnel outage and never ran a job.
+# all of round 3 waiting out the ~30h+ tunnel outage and never ran a job.
 # Jobs ordered by judge value per hour (VERDICT round-3 "Next round" items):
 #   1. mesmoc        (0.5 h)  VERDICT item 4: TPU campaign with moving HV
 #   2. bc512         (3 h)    VERDICT item 2: Branin-Currin@512, 15 iters, rec-HV
@@ -16,70 +16,54 @@
 #   9. toy_device_polish (1.5 h) device-polish quality/perf arm
 #  10. bench         (2 h)    headline refresh; ALSO warms the compilation
 #                             cache for the driver's end-of-round bench run
-# Campaigns are resume-safe (reruns replay evaluated points); each job is
-# bounded by timeout and preceded by a tunnel re-probe.
+# Campaigns are resume-safe (reruns replay evaluated points). Every job runs
+# with the in-process stall watchdog armed (exit 86 on a hung device RPC —
+# the round-3 outage failure mode) and is retried on 86/124 (queue_lib.sh).
 set -u
 cd "$(dirname "$0")/.."
+STATUS_TAG=r4
+. benchmarks/queue_lib.sh
+echo $$ > /tmp/r4_tpu_runner.pid
+export MOBOCMF_STALL_TIMEOUT_S=${MOBOCMF_STALL_TIMEOUT_S:-3600}
 
-probe() { timeout 60 python -c "import jax, jax.numpy as jnp; jnp.ones((4,4)).block_until_ready()" 2>/dev/null; }
-
-wait_tunnel() {
-  local tries=${1:-180}
-  for _ in $(seq 1 "$tries"); do
-    probe && return 0
-    sleep 120
-  done
-  return 1
-}
-
-status() { echo "$(date '+%F %T') [r4] $*" >> /tmp/r4_queue_status; }
-
-status "queue start; waiting for tunnel"
+status "queue start; waiting for tunnel (watchdog ${MOBOCMF_STALL_TIMEOUT_S}s)"
 wait_tunnel 400 || { status "tunnel never came back"; exit 1; }
 status "tunnel up"
 touch /tmp/r4_tunnel_up
 
-run() {
-  local name=$1 tmo=$2; shift 2
-  wait_tunnel 15 || { status "$name SKIPPED (tunnel down)"; return 1; }
-  status "$name start"
-  timeout "$tmo" "$@" > "/tmp/r4_${name}.log" 2>&1
-  status "$name rc=$?"
-}
-
-run mesmoc 1800 python -u examples/example_mesmoc_mfgp.py \
+run_tpu_job mesmoc 1800 python -u examples/example_mesmoc_mfgp.py \
   --iters 12 --log-dir benchmarks/evidence/mesmoc_mfgp_r4
 
-run bc512 10800 python -u examples/example_branin_currin_512.py \
+run_tpu_job bc512 10800 python -u examples/example_branin_currin_512.py \
   --iters 15 --track-recommendation \
   --log-dir benchmarks/evidence/branin_currin_512_r4
 
-run whitened_r4 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
+run_tpu_job whitened_r4 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
   --iters 60 --whitened --track-recommendation \
   --log-dir benchmarks/evidence/toy2d_whitened_r4
 
-run q16 10800 python -u examples/example_batch_bo_10d.py \
+run_tpu_job q16 10800 python -u examples/example_batch_bo_10d.py \
   --iters 25 --track-recommendation \
   --log-dir benchmarks/evidence/batch10d_q16_r4
 
-run dtlz2 10800 python -u examples/example_dtlz2_2048.py \
+run_tpu_job dtlz2 10800 python -u examples/example_dtlz2_2048.py \
   --iters 3 --track-recommendation \
   --log-dir benchmarks/evidence/dtlz2_2048_r4
 
-run unwhitened 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
+run_tpu_job unwhitened 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
   --iters 60 --track-recommendation \
   --log-dir benchmarks/evidence/toy2d_unwhitened_r3
 
-run scale_bench 5400 python -u benchmarks/scale_bench.py \
+run_tpu_job scale_bench 5400 python -u benchmarks/scale_bench.py \
   --out benchmarks/scale_bench_results_r4.json
 
-run ab_acq_solves 1800 python -u benchmarks/ab_acq_inv.py
-run ab_acq_inv 1800 env MOBOCMF_ACQ_INV=1 python -u benchmarks/ab_acq_inv.py
+run_tpu_job ab_acq_solves 1800 python -u benchmarks/ab_acq_inv.py
+run_tpu_job ab_acq_inv 1800 env MOBOCMF_ACQ_INV=1 python -u benchmarks/ab_acq_inv.py
 
-run toy_device_polish 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
+run_tpu_job toy_device_polish 5400 python -u examples/toy_synthetic_2D_JESMOCMF.py \
   --iters 60 --whitened --polish device --track-recommendation \
   --log-dir benchmarks/evidence/toy2d_whitened_devpolish_r4
 
-run bench 7200 python -u bench.py
+run_tpu_job bench 7200 python -u bench.py
 
 status "r4 queue done"

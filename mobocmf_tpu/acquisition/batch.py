@@ -16,7 +16,6 @@ pick (same multi-start L-BFGS engine as the q=1 path).
 
 from __future__ import annotations
 
-import weakref
 from functools import partial
 from typing import Callable, Tuple
 
@@ -69,13 +68,14 @@ def optimize_acqf_batch(
 
     # jit cache keyed by (acq_fn identity, statics): repeated calls with a
     # STABLE acq_fn (module-level function, params threaded via its tree)
-    # reuse one executable. Per-call closures get no reuse by construction,
-    # and their entries (which pin the params captured in the closure) are
-    # dropped the moment the closure is garbage-collected via
-    # weakref.finalize; the bounded FIFO eviction remains as a backstop for
-    # non-weakrefable callables. (The production q>1 path does not come
-    # through here: jesmoc.optimize_coupled_jes_penalized is module-level
-    # jitted.)
+    # reuse one executable. A per-call CLOSURE acq_fn gets no reuse by
+    # construction, and its entry would pin the params captured in the
+    # closure (the cached jitted partial holds a strong reference to
+    # acq_fn, so weakref-based eviction can never fire) — such entries are
+    # therefore dropped explicitly after the batch loop; the bounded FIFO
+    # eviction remains as the backstop. (The production q>1 path does not
+    # come through here: jesmoc.optimize_coupled_jes_penalized is
+    # module-level jitted.)
     cache_key = (id(acq_fn), input_dim, num_restarts, raw_samples, maxiter, rho, dtype)
     if cache_key not in _PICK_CACHE:
         while len(_PICK_CACHE) >= _PICK_CACHE_MAX:
@@ -87,21 +87,27 @@ def optimize_acqf_batch(
                 maxiter=maxiter, rho=rho, dtype=dtype,
             )
         )
-        try:
-            # id() cannot be reused before the object is freed, and finalize
-            # callbacks run at free time — so the pop always precedes any
-            # id collision with a new callable
-            weakref.finalize(acq_fn, _PICK_CACHE.pop, cache_key, None)
-        except TypeError:  # e.g. a C callable without weakref support
-            pass
     opt = _PICK_CACHE[cache_key]
-    for k in range(q):
-        key, kk = jax.random.split(key)
-        x_k, v_k = opt(chosen, kk)
-        chosen = chosen.at[k].set(x_k)
-        values = values.at[k].set(v_k)
-        heartbeat.beat(f"batch:pick{k}")
+    try:
+        for k in range(q):
+            key, kk = jax.random.split(key)
+            x_k, v_k = opt(chosen, kk)
+            chosen = chosen.at[k].set(x_k)
+            values = values.at[k].set(v_k)
+            heartbeat.beat(f"batch:pick{k}")
+    finally:
+        if _is_per_call_callable(acq_fn):
+            _PICK_CACHE.pop(cache_key, None)
     return chosen, values
+
+
+def _is_per_call_callable(fn) -> bool:
+    """True for closures/lambdas/bound methods — callables that cannot recur
+    across calls by identity, so caching their jit wrapper only pins memory."""
+    if getattr(fn, "__closure__", None):
+        return True
+    qualname = getattr(fn, "__qualname__", "")
+    return "<locals>" in qualname or "<lambda>" in qualname
 
 
 def _one_pick(acq_fn, input_dim, chosen, key, *, num_restarts, raw_samples, maxiter, rho, dtype):

@@ -28,9 +28,18 @@ def median_lengthscale(x: Array) -> Array:
     """
     n = x.shape[0]
     d2 = compute_dist(x)
+    if n < 2:
+        # single-row subset: no pairwise distances; neutral unit lengthscale
+        # (same fallback as the numpy twin below)
+        return jnp.ones((), dtype=x.dtype)
     iu, ju = jnp.triu_indices(n, k=1)
     vals = d2[iu, ju]
-    return jnp.sqrt(jnp.median(vals))
+    # duplicate/near-duplicate rows can push the expansion-trick median
+    # slightly negative (sqrt -> NaN); all-duplicate batches give exactly 0
+    # (lengthscale 0 divides by zero downstream) — clamp and fall back to 1
+    # exactly like the numpy twin
+    med = jnp.maximum(jnp.median(vals), 0.0)
+    return jnp.where(med > 0.0, jnp.sqrt(med), jnp.ones((), dtype=x.dtype))
 
 
 def median_lengthscale_np(x) -> "np.ndarray":

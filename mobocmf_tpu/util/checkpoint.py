@@ -103,9 +103,16 @@ def restore_fitter(path: str, fitter_cls=None):
     cls = fitter_cls or BlackBoxMFDGPFitter
     # a fitter_cls override (or a future renamed constructor arg) must not
     # make new-format checkpoints unrestorable: drop unknown hyper keys
-    # with a warning instead of raising TypeError
-    accepted = set(inspect.signature(cls.__init__).parameters)
-    unknown = [k for k in hyper if k not in accepted]
+    # with a warning instead of raising TypeError. A **kwargs constructor
+    # (the standard 'def __init__(self, *a, **kw)' subclass pattern) accepts
+    # everything — filtering against its literal parameter names would
+    # silently drop ALL saved hyperparameters.
+    sig_params = inspect.signature(cls.__init__).parameters
+    accepts_var_kw = any(
+        p.kind is inspect.Parameter.VAR_KEYWORD for p in sig_params.values()
+    )
+    accepted = set(sig_params)
+    unknown = [] if accepts_var_kw else [k for k in hyper if k not in accepted]
     if unknown:
         warnings.warn(
             f"restore_fitter: dropping saved hyperparameters not accepted by "

@@ -71,7 +71,9 @@ def test_hv_large_4objective_front_is_exact_and_fast():
 
     np.testing.assert_allclose(hypervolume_mc(pts, ref, mc_samples=400_000), hv, rtol=0.05)
     assert 0.0 < hv < 1.0
-    assert elapsed < 60.0
+    # generous bound: the suite shares a 1-core host with background
+    # campaigns (CLAUDE.md); idle-host runtime is a few seconds
+    assert elapsed < 300.0
 
 
 def test_hv_duplicate_points():
