@@ -52,3 +52,36 @@ def test_penalization_suppresses_chosen_neighborhood():
     at_other = float(fn(jnp.array([[0.8, 0.8]]))[0])
     assert at_chosen < 1e-6
     assert at_other > 0.8
+
+
+def test_pick_cache_drops_closure_entries_but_keeps_module_fns():
+    """Per-call closure acq_fns pin their captured params via the cached
+    jitted partial; their cache entries must be dropped after the batch loop.
+    Module-level functions stay cached for reuse."""
+    from mobocmf_tpu.acquisition import batch as B
+
+    B._PICK_CACHE.clear()
+
+    big = jnp.ones((8, 8))
+
+    def closure_acq(x):  # has a closure cell -> per-call
+        return -jnp.sum((x - 0.5) ** 2, axis=-1) + 0.0 * jnp.sum(big).astype(
+            x.dtype
+        )
+
+    B.optimize_acqf_batch(
+        closure_acq, 2, 2, jax.random.key(0),
+        num_restarts=2, raw_samples=16, maxiter=5,
+    )
+    assert len(B._PICK_CACHE) == 0, "closure entry not evicted"
+
+    B.optimize_acqf_batch(
+        _module_level_acq, 2, 2, jax.random.key(0),
+        num_restarts=2, raw_samples=16, maxiter=5,
+    )
+    assert len(B._PICK_CACHE) == 1, "module-level entry should stay cached"
+    B._PICK_CACHE.clear()
+
+
+def _module_level_acq(x):
+    return -jnp.sum((x - 0.5) ** 2, axis=-1)

@@ -280,3 +280,42 @@ def test_conditioned_loss_finite_on_all_padded_minibatch():
     assert np.isfinite(float(loss))
     for leaf in jax.tree.leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_conditioned_rejects_mismatched_inducing_inputs():
+    """The obj/con stacked-states fusion is only valid when both groups share
+    the SAME inducing inputs (coupled-evaluation contract). Same-shaped but
+    different-VALUED z_x (e.g. constraint models fit on different bucketed
+    inputs) must raise, not silently reuse the objectives' states."""
+    import pytest
+
+    from mobocmf_tpu.fit import conditioned as C
+    from mobocmf_tpu.fit import trainer as T
+    from mobocmf_tpu.models import mfdgp as M
+
+    rng = np.random.default_rng(0)
+    n, d = 10, 2
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    x1 = jnp.asarray(rng.uniform(size=(n, d)))
+    x2 = jnp.asarray(rng.uniform(size=(n, d)))  # same shape, different values
+    mk = lambda x, i: M.init_mfdgp(
+        jax.random.key(i), x, jnp.asarray(rng.normal(size=(n, 1))), fid, 2
+    )
+    op, oc, cfg = T.stack_models([mk(x1, 0), mk(x1, 1)])
+    cp, cc, _ = T.stack_models([mk(x2, 2), mk(x2, 3)])
+
+    p = 4
+    data = C.ConditionedData(
+        x=x1,
+        ys_obj=jnp.zeros((2, n)),
+        ys_con=jnp.zeros((2, n)),
+        fidelities=fid,
+        pareto_set=jnp.asarray(rng.uniform(size=(p, d))),
+        pareto_front=jnp.asarray(rng.normal(size=(p, 2))),
+        front_mask=jnp.ones((p,), dtype=bool),
+        thresholds=jnp.zeros((2,)),
+    )
+    with pytest.raises(ValueError, match="identical inducing inputs"):
+        C.train_conditioned_chunked(
+            op, cp, oc, cc, cfg, data, jax.random.key(0), 2, 1e-3, 1e-8, n
+        )
