@@ -27,6 +27,29 @@ import numpy as np
 PHASES = ("setup", "train", "pareto", "cond", "acq", "recommend")
 
 
+def warm_rows(m, k):
+    """Steady-state rows of a per-iteration log whose column 0 is the BO
+    iteration index.
+
+    Rows are appended across resumes and 86/124 retries, so positional
+    slicing is wrong twice over: a resumed arm's file doesn't start at
+    iteration 0, and every retry re-introduces cold-compile rows mid-file.
+    Filter on the index column instead (idx > k), and additionally drop the
+    first row after any index discontinuity (a resume/retry process boundary
+    — that row carries fresh-process compiles), including a file that starts
+    mid-campaign.
+    """
+    if m is None or m.shape[0] == 0:
+        return m
+    idx = m[:, 0]
+    keep = idx > k
+    prev = np.concatenate([[idx[0] - 1.0], idx[:-1]])
+    keep &= idx == prev + 1.0
+    if idx[0] != 0:  # file starts mid-campaign -> its first row is cold
+        keep[0] = False
+    return m[keep]
+
+
 def load(d):
     out = {"name": os.path.basename(os.path.normpath(d))}
     f = os.path.join(d, "phase_seconds.txt")
@@ -54,18 +77,32 @@ def main():
 
     print(f"A = {a['name']}   B = {b['name']}   (medians over iterations > {k})")
     if a["phase"] is not None and b["phase"] is not None:
-        pa, pb = a["phase"][k:], b["phase"][k:]
-        print(f"\n{'phase':>10} {'A med s':>9} {'B med s':>9} {'B/A':>6}")
-        for j, name in enumerate(PHASES):
-            ma, mb = np.median(pa[:, 2 + j]), np.median(pb[:, 2 + j])
-            print(f"{name:>10} {ma:9.2f} {mb:9.2f} {mb / ma if ma else float('nan'):6.2f}")
-        ta, tb = np.median(pa[:, 2:].sum(1)), np.median(pb[:, 2:].sum(1))
-        print(f"{'TOTAL':>10} {ta:9.2f} {tb:9.2f} {tb / ta:6.2f}")
+        pa, pb = warm_rows(a["phase"], k), warm_rows(b["phase"], k)
+        if pa.shape[0] == 0 or pb.shape[0] == 0:
+            print(f"phase medians skipped: too few warm iterations "
+                  f"(A n={pa.shape[0]}, B n={pb.shape[0]} after --warm-after {k})")
+        else:
+            print(f"\n{'phase':>18} {'A med s':>9} {'B med s':>9} {'B/A':>6}")
+            for j, name in enumerate(PHASES):
+                ma, mb = np.median(pa[:, 2 + j]), np.median(pb[:, 2 + j])
+                print(f"{name:>18} {ma:9.2f} {mb:9.2f} "
+                      f"{mb / ma if ma else float('nan'):6.2f}")
+            # recommend (last column) is evidence-tracking overhead excluded
+            # from iteration_seconds.txt wall-clock; print both views so they
+            # can't be conflated with the headline iteration timing
+            ta, tb = np.median(pa[:, 2:-1].sum(1)), np.median(pb[:, 2:-1].sum(1))
+            print(f"{'TOTAL (BO phases)':>18} {ta:9.2f} {tb:9.2f} {tb / ta:6.2f}")
+            ta, tb = np.median(pa[:, 2:].sum(1)), np.median(pb[:, 2:].sum(1))
+            print(f"{'TOTAL (+recommend)':>18} {ta:9.2f} {tb:9.2f} {tb / ta:6.2f}")
     for r, tag in ((a, "A"), (b, "B")):
         if r["iter"] is not None:
-            w = r["iter"][k:, 2]
-            print(f"iter wall-clock {tag}: median {np.median(w):.1f}s  "
-                  f"p90 {np.percentile(w, 90):.1f}s  n_iters {len(r['iter'])}")
+            w = warm_rows(r["iter"], k)
+            if w.shape[0] == 0:
+                print(f"iter wall-clock {tag}: too few warm iterations "
+                      f"(n={r['iter'].shape[0]} <= --warm-after {k})")
+                continue
+            print(f"iter wall-clock {tag}: median {np.median(w[:, 2]):.1f}s  "
+                  f"p90 {np.percentile(w[:, 2], 90):.1f}s  n_iters {len(r['iter'])}")
     for r, tag in ((a, "A"), (b, "B")):
         if r["gap_pct"] is not None:
             g = r["gap_pct"]

@@ -1,0 +1,19 @@
+#!/bin/bash
+# Commit campaign evidence as it lands so a VM/tunnel loss mid-round can't
+# erase optimization trajectories again (round-3 failure mode). Runs beside
+# the TPU queue; commits ONLY benchmarks/evidence (never source files) every
+# ~15 min when something changed.
+set -u
+cd "$(dirname "$0")/.."
+echo $$ > /tmp/r5_autocommit.pid
+while :; do
+  sleep 900
+  git add -A benchmarks/evidence 2>/dev/null
+  if ! git diff --cached --quiet; then
+    changed=$(git diff --cached --name-only | sed 's|benchmarks/evidence/||' \
+      | cut -d/ -f1 | sort -u | tr '\n' ' ')
+    git commit -q -m "evidence autocommit: ${changed}" \
+      -m "No-Verification-Needed: campaign evidence files only, no source change"
+    echo "$(date '+%F %T') committed: ${changed}" >> /tmp/r5_autocommit.log
+  fi
+done

@@ -9,7 +9,11 @@
 
 probe() { timeout 60 python -c "import jax, jax.numpy as jnp; jnp.ones((4,4)).block_until_ready()" 2>/dev/null; }
 
-status() { echo "$(date '+%F %T') [${STATUS_TAG:-queue}] $*" >> /tmp/r4_queue_status; }
+# All /tmp artifact names share this prefix so successive rounds' runners
+# don't clobber each other's logs (was hardcoded r4_).
+QUEUE_PREFIX=${QUEUE_PREFIX:-${STATUS_TAG:-queue}}
+
+status() { echo "$(date '+%F %T') [${STATUS_TAG:-queue}] $*" >> "/tmp/${QUEUE_PREFIX}_queue_status"; }
 
 wait_tunnel() {
   local tries=${1:-180}
@@ -43,7 +47,7 @@ run_tpu_job() {
   for attempt in 1 2 3 4; do
     wait_tunnel 15 || { status "$name SKIPPED (tunnel down)"; return 1; }
     status "$name start (attempt $attempt)"
-    timeout "$tmo" "$@" >> "/tmp/r4_${name}.log" 2>&1
+    timeout "$tmo" "$@" >> "/tmp/${QUEUE_PREFIX}_${name}.log" 2>&1
     rc=$?
     status "$name rc=$rc (attempt $attempt)"
     case "$rc" in
@@ -77,7 +81,7 @@ import jax; jax.config.update('jax_platforms','cpu')
 import runpy, sys
 sys.argv=['$script','--iters','$next','--track-recommendation','--log-dir','$dir'] + '$extra'.split()
 runpy.run_path('examples/$script', run_name='__main__')
-" >> "/tmp/r4_${name}_cpu.log" 2>&1
+" >> "/tmp/${QUEUE_PREFIX}_${name}_cpu.log" 2>&1
     status "$name chunk rc=$? (target $next)"
   done
 }

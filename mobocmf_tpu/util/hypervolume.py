@@ -12,7 +12,18 @@ independent estimator for agreement tests.
 
 from __future__ import annotations
 
+import warnings
+
 import numpy as np
+
+# WFG cost is sharply superlinear in front size (measured k=4 sphere-like
+# fronts, this host: 0.7 s @ 150, 5 s @ 450, 13 s @ 700, 33 s @ 1000 points).
+# Observed fronts grow monotonically over a campaign, so above this bound the
+# metric path summarizes the front to a max-min subset (same greedy
+# objective-space summarizer the reference applies to oversized Pareto sets,
+# moop.py:187-219) and returns the — slightly conservative — exact HV of the
+# subset. Keeps 100+-iteration 4-objective campaigns at seconds per metric.
+HV_FRONT_CAP = 512
 
 
 def _pareto_filter(points: np.ndarray, ref: np.ndarray) -> np.ndarray:
@@ -104,19 +115,38 @@ def _wfg(pts: np.ndarray, ref: np.ndarray) -> float:
     return hv
 
 
+def _maxmin_subset(pts: np.ndarray, size: int) -> np.ndarray:
+    """Greedy max-min summary of a front in objective space.
+
+    Host-numpy twin of the jitted ``moop.summarize_pareto`` (reference
+    moop.py:187-219): seed with each objective's argmin, then repeatedly add
+    the point whose distance to the chosen set is largest, so the subset
+    spans the front's extremes and spreads evenly between them.
+    """
+    n, k = pts.shape
+    chosen = list(dict.fromkeys(int(np.argmin(pts[:, j])) for j in range(k)))
+    dmin = np.min(
+        np.linalg.norm(pts[:, None, :] - pts[None, chosen, :], axis=-1), axis=1
+    )
+    while len(chosen) < size:
+        nxt = int(np.argmax(dmin))
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, np.linalg.norm(pts - pts[nxt], axis=-1))
+    return pts[np.array(chosen[:size])]
+
+
 def hypervolume(points: np.ndarray, ref: np.ndarray) -> float:
     """Exact hypervolume of the region dominated by `points`, bounded by `ref`.
 
     Exact in every dimensionality: 2-objective sweep, WFG recursion otherwise.
 
-    Runtime note: WFG is sharply superlinear in the nondominated front size.
-    Measured (k=4, this host): ~0.1 s at 100 front points, ~3.6 s at 225,
-    minutes by ~700. The campaign metric paths keep fronts in the low
-    hundreds (observed fronts grow with BO iterations; grid fronts are culled
-    from recommendation_grid_size draws), which is seconds. The recursion
-    depth can reach the front size, so the interpreter limit is raised for
-    the call (a 1000-point front would otherwise hit CPython's default 1000
-    RecursionError mid-metric).
+    Runtime bound: the 2-objective sweep is O(n log n) at any front size; the
+    WFG recursion is capped at ``HV_FRONT_CAP`` front points (measured costs
+    in the constant's comment). Larger k>=3 fronts are summarized to a greedy
+    max-min subset first — the returned value is then the exact HV of that
+    subset, a tight lower bound on the full front's HV (a warning records the
+    summarization). The recursion depth can reach the front size, so the
+    interpreter limit is raised for the call.
     """
     points = np.atleast_2d(np.asarray(points, dtype=float))
     ref = np.asarray(ref, dtype=float)
@@ -125,6 +155,14 @@ def hypervolume(points: np.ndarray, ref: np.ndarray) -> float:
         return 0.0
     if pts.shape[1] == 2:
         return hypervolume_2d(pts, ref)
+    if pts.shape[0] > HV_FRONT_CAP:
+        warnings.warn(
+            f"hypervolume: {pts.shape[0]}-point front exceeds HV_FRONT_CAP="
+            f"{HV_FRONT_CAP}; scoring the exact HV of a max-min subset "
+            "(tight lower bound)",
+            stacklevel=2,
+        )
+        pts = _pareto_filter(_maxmin_subset(pts, HV_FRONT_CAP), ref)
     import sys
 
     old_limit = sys.getrecursionlimit()
