@@ -21,8 +21,19 @@ from mobocmf_tpu.models import mfdgp as M
 torch.set_default_dtype(torch.float64)
 
 
-def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data):
-    """Reference-equivalent forward + ELBO in torch f64."""
+def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data,
+                 whitened=False):
+    """Reference-equivalent forward + ELBO in torch f64.
+
+    whitened=True: `params` carry whitened coordinates q(v) = N(m_w, S_w)
+    with u = L_K v (models/mfdgp.py:347-384, models/svgp.py:18-23). The
+    mirror un-whitens them ITSELF in torch — m = L_K m_w, L_S = L_K L_w with
+    L_K = chol(Kzz + jitter I) at the dynamic chain Z — and then runs the
+    exact same unwhitened reference math. Because u = L_K v makes
+    KL(q(u) || N(0, Kzz + jitter I)) == KL(q(v) || N(0, I)) identically, the
+    unwhitened-mirror ELBO/KL must equal the JAX whitened path to float64
+    solve precision; this checks the whitened predictive, KL, chain, AND the
+    host-f64 init conversion against independent math (VERDICT r4 item 8)."""
     sp = torch.nn.functional.softplus
     x = torch.from_numpy(x_np)
     y = torch.from_numpy(y_np)
@@ -54,23 +65,27 @@ def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data):
         kx2 = rbf(x1, x2, t(k1["kx2"]["raw_lengthscale"]), t(k1["kx2"]["raw_outputscale"]))
         return kx1 * (klin + kf) + kx2
 
-    def svgp(gram, diag_val, m, ls_raw, z, xq):
-        kzz = gram(z, z) + jitter * torch.eye(z.shape[0])
-        l = torch.linalg.cholesky(kzz)
-        kzx = gram(z, xq)
-        a = torch.cholesky_solve(kzx, l)
-        mu = a.T @ m
-        s_chol = torch.tril(ls_raw)
-        b = s_chol.T @ a
-        var = (diag_val - (a * kzx).sum(0) + (b * b).sum(0)).clamp_min(1e-12)
-        return mu, var, l
+    def unwhiten(l, m_raw, ls_raw):
+        """u = L_K v: q(u) mean L m_w, covariance factor L tril(L_w)."""
+        if whitened:
+            return l @ m_raw, l @ torch.tril(ls_raw)
+        return m_raw, torch.tril(ls_raw)
 
     # layer 0
-    m0 = t(params.layers[0].variational.mean)
-    ls0 = t(params.layers[0].variational.chol_raw)
     z0 = t(consts.z_x[0])
+    kzz0 = gram0(z0, z0) + jitter * torch.eye(z0.shape[0])
+    l0 = torch.linalg.cholesky(kzz0)
+    m0, s0 = unwhiten(
+        l0,
+        t(params.layers[0].variational.mean),
+        t(params.layers[0].variational.chol_raw),
+    )
     diag0 = sp(t(k0["raw_outputscale"])).expand(n)
-    mu0, var0, l0 = svgp(gram0, diag0, m0, ls0, z0, x)
+    kzx0 = gram0(z0, x)
+    a0 = torch.cholesky_solve(kzx0, l0)
+    mu0 = a0.T @ m0
+    b0 = s0.T @ a0
+    var0 = (diag0 - (a0 * kzx0).sum(0) + (b0 * b0).sum(0)).clamp_min(1e-12)
 
     # dynamic chain: mean of layer 0 at its own inducing inputs
     w = torch.cholesky_solve(m0.unsqueeze(1), l0)
@@ -80,15 +95,17 @@ def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data):
     f_prev = mu0 + torch.sqrt(var0) * torch.from_numpy(eps_np[0])
     z1 = torch.cat([t(consts.z_x[1]), chain.unsqueeze(1)], 1)
     x1_in = torch.cat([x, f_prev.unsqueeze(1)], 1)
-    m1 = t(params.layers[1].variational.mean)
-    ls1 = t(params.layers[1].variational.chol_raw)
     diag1 = torch.diagonal(gram1(x1_in, x1_in))
     kzz1 = gram1(z1, z1) + jitter * torch.eye(n)
     l1 = torch.linalg.cholesky(kzz1)
+    m1, s1 = unwhiten(
+        l1,
+        t(params.layers[1].variational.mean),
+        t(params.layers[1].variational.chol_raw),
+    )
     kzx1 = gram1(z1, x1_in)
     a1 = torch.cholesky_solve(kzx1, l1)
     mu1 = a1.T @ m1
-    s1 = torch.tril(ls1)
     b1 = s1.T @ a1
     var1 = (diag1 - (a1 * kzx1).sum(0) + (b1 * b1).sum(0)).clamp_min(1e-12)
 
@@ -108,7 +125,7 @@ def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data):
         data = data + ll.sum()
 
     kl = 0.0
-    for l, s_chol, m in [(l0, torch.tril(ls0), m0), (l1, s1, m1)]:
+    for l, s_chol, m in [(l0, s0, m0), (l1, s1, m1)]:
         wk = torch.linalg.solve_triangular(l, s_chol, upper=False)
         lm = torch.linalg.solve_triangular(l, m.unsqueeze(1), upper=False)
         kl = kl + 0.5 * (
@@ -125,8 +142,9 @@ def torch_mirror(params, consts, config, x_np, y_np, fid_np, eps_np, num_data):
     )
 
 
+@pytest.mark.parametrize("whitened", [False, True])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_mfdgp_elbo_parity_vs_torch_mirror(seed):
+def test_mfdgp_elbo_parity_vs_torch_mirror(seed, whitened):
     rng = np.random.default_rng(seed)
     n, d = 14, 2
     x_np = rng.uniform(size=(n, d))
@@ -136,7 +154,30 @@ def test_mfdgp_elbo_parity_vs_torch_mirror(seed):
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
     fid = jnp.asarray(fid_np)
-    model = M.init_mfdgp(jax.random.key(seed), x, y[:, None], fid, 2)
+    model = M.init_mfdgp(jax.random.key(seed), x, y[:, None], fid, 2, whitened=whitened)
+    if whitened:
+        # move the whitened coordinates off their init point (where the
+        # conversion could mask coordinate-handling bugs by construction):
+        # perturb m_w and L_w deterministically, so parity is checked at a
+        # GENERIC whitened parameter value
+        prng = np.random.default_rng(seed + 7)
+        new_layers = []
+        for lp in model.params.layers:
+            mw = np.asarray(lp.variational.mean, dtype=np.float64)
+            lw = np.asarray(lp.variational.chol_raw, dtype=np.float64)
+            mw = mw + 0.1 * prng.normal(size=mw.shape)
+            lw = lw + 0.05 * np.tril(prng.normal(size=lw.shape))
+            lw[np.diag_indices_from(lw)] = np.abs(lw[np.diag_indices_from(lw)]) + 0.05
+            new_layers.append(
+                lp._replace(
+                    variational=lp.variational._replace(
+                        mean=jnp.asarray(mw), chol_raw=jnp.asarray(lw)
+                    )
+                )
+            )
+        model = model._replace(
+            params=model.params._replace(layers=tuple(new_layers))
+        )
     eps = M.sample_eps(jax.random.key(seed + 100), model.config, n, x.dtype)
     eps_np = np.asarray(eps, dtype=np.float64)
 
@@ -146,9 +187,10 @@ def test_mfdgp_elbo_parity_vs_torch_mirror(seed):
     elbo_j, kl_j = elbo_terms(model.params, model.consts, model.config, x, y, fid, eps, n)
     kl_raw = M.kl_all_layers(model.params, model.consts, model.config, states=states)
 
-    # torch mirror
+    # torch mirror (un-whitens independently when whitened=True)
     mus_t, vars_t, elbo_t, kl_t = torch_mirror(
-        model.params, model.consts, model.config, x_np, y_np, fid_np, eps_np, n
+        model.params, model.consts, model.config, x_np, y_np, fid_np, eps_np, n,
+        whitened=whitened,
     )
 
     for i in range(2):
@@ -156,3 +198,39 @@ def test_mfdgp_elbo_parity_vs_torch_mirror(seed):
         np.testing.assert_allclose(np.asarray(outs[i][1]), vars_t[i], rtol=1e-8, atol=1e-12)
     np.testing.assert_allclose(float(elbo_j), elbo_t, rtol=1e-9)
     np.testing.assert_allclose(float(kl_raw), kl_t, rtol=1e-9)
+
+
+def test_whitened_init_conversion_parity_vs_torch_mirror():
+    """The host-f64 whitened init conversion (models/mfdgp.py:347-384) must
+    reproduce the reference's unwhitened init posterior EXACTLY: the
+    whitened-init JAX model and the torch mirror fed the UNWHITENED model's
+    raw parameters must agree on posterior/ELBO/KL — an independent check of
+    the conversion chain math (L_K at the dynamic init Z, chain mean
+    m - jitter K^{-1} m), not just jax-vs-jax self-consistency."""
+    seed = 3
+    rng = np.random.default_rng(seed)
+    n, d = 14, 2
+    x_np = rng.uniform(size=(n, d))
+    y_np = rng.normal(size=n)
+    fid_np = (np.arange(n) % 2).astype(np.int64)
+    x, y, fid = jnp.asarray(x_np), jnp.asarray(y_np), jnp.asarray(fid_np)
+
+    m_u = M.init_mfdgp(jax.random.key(seed), x, y[:, None], fid, 2, whitened=False)
+    m_w = M.init_mfdgp(jax.random.key(seed), x, y[:, None], fid, 2, whitened=True)
+    eps = M.sample_eps(jax.random.key(seed + 100), m_w.config, n, x.dtype)
+    eps_np = np.asarray(eps, dtype=np.float64)
+
+    outs_w = M.forward(m_w.params, m_w.consts, m_w.config, x, eps)
+    elbo_w, _ = elbo_terms(m_w.params, m_w.consts, m_w.config, x, y, fid, eps, n)
+    kl_w = M.kl_all_layers(m_w.params, m_w.consts, m_w.config)
+
+    # mirror runs on the UNWHITENED model's parameters (whitened=False): the
+    # two implementations share nothing past the init inputs
+    mus_t, vars_t, elbo_t, kl_t = torch_mirror(
+        m_u.params, m_u.consts, m_u.config, x_np, y_np, fid_np, eps_np, n
+    )
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(outs_w[i][0]), mus_t[i], rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(outs_w[i][1]), vars_t[i], rtol=1e-7, atol=1e-11)
+    np.testing.assert_allclose(float(elbo_w), elbo_t, rtol=1e-8)
+    np.testing.assert_allclose(float(kl_w), kl_t, rtol=1e-7, atol=1e-10)
