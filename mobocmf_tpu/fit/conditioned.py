@@ -26,6 +26,7 @@ are masked out of the theta/omega sums.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -34,7 +35,8 @@ import optax
 from jax.scipy.stats import norm
 
 from mobocmf_tpu.fit import trainer
-from mobocmf_tpu.mlls.elbo import elbo_terms, elbo_data_term
+from mobocmf_tpu.mlls.elbo import _data_term, elbo_data_term, elbo_terms
+from mobocmf_tpu.mlls.elbo import gaussian_expected_log_prob
 from mobocmf_tpu.models import mfdgp as M
 from mobocmf_tpu.util import heartbeat
 
@@ -105,6 +107,7 @@ def conditioned_loss(
     eps_const: float,
     batch_idx: Array,
     batch_w: Array,
+    fused: bool = False,
 ) -> Array:
     n = data.x.shape[0]
     b = batch_idx.shape[0]
@@ -157,6 +160,84 @@ def conditioned_loss(
     else:
         states_o = trainer.states_stacked(obj_params, obj_consts, config)
         states_c = None
+
+    if fused:
+        # Fused evaluation (MOBOCMF_FUSED_COND=1): ONE forward per model at
+        # the concatenated rows [xb; X*; x_tilde] instead of three separate
+        # forwards (batch ELBO, Pareto-front term, omega points). The forward
+        # is row-independent given the (already shared) layer states, and the
+        # eps draws below use the SAME keys and shapes as the unfused path,
+        # concatenated along the row axis — so the loss value is identical
+        # math (same draw lands on the same row) with ~3x fewer evaluation
+        # kernels per step; the phase is HLO-count/latency bound (CLAUDE.md).
+        top = config.num_fidelities - 1
+        x_cat = jnp.concatenate([xb, data.pareto_set, x_tilde], axis=0)
+        fmask = data.front_mask.astype(dtype)
+        batch_count = jnp.maximum(jnp.sum(batch_w), 1.0)
+
+        def fused_elbo_part(params_i, consts_i, y_i, outs, st_i):
+            outs_b = [(mu[:b], var[:b]) for mu, var in outs]
+            db = _data_term(
+                params_i, consts_i, config, outs_b, y_i[batch_idx], fb, batch_w
+            )
+            kl = M.kl_all_layers(params_i, consts_i, config, states=st_i)
+            elbo = db - kl * jnp.sum(batch_w) / n_real
+            return -elbo / batch_count * n_real
+
+        def obj_term_f(params_i, consts_i, y_i, front_i, eps_cat, st_i):
+            outs = M.forward(params_i, consts_i, config, x_cat, eps_cat, states=st_i)
+            l = fused_elbo_part(params_i, consts_i, y_i, outs, st_i)
+            mu_top, var_top = outs[top]
+            noise = M.likelihood_noise(params_i, consts_i, top)
+            ll = gaussian_expected_log_prob(
+                front_i, mu_top[b : b + p], var_top[b : b + p], noise
+            )
+            return l - jnp.sum(ll * fmask), (mu_top[b + p :], var_top[b + p :])
+
+        eps_b_o = jax.random.normal(keys[0], (num_obj, fm1, b), dtype=dtype)
+        eps_p_o = jax.random.normal(keys[1], (num_obj, fm1, p), dtype=dtype)
+        eps_t_o = jax.random.normal(
+            keys[4], (num_obj, fm1, NUM_OMEGA_POINTS), dtype=dtype
+        )
+        eps_o = jnp.concatenate([eps_b_o, eps_p_o, eps_t_o], axis=-1)
+        obj_losses, (fs_mean, fs_var) = jax.vmap(
+            obj_term_f, in_axes=(0, trainer.CONSTS_AXES, 0, 1, 0, 0)
+        )(obj_params, obj_consts, data.ys_obj, data.pareto_front, eps_o, states_o)
+        loss = loss + jnp.sum(obj_losses)
+
+        if num_con > 0:
+
+            def con_term_f(params_i, consts_i, y_i, thr_i, eps_cat, st_i):
+                outs = M.forward(
+                    params_i, consts_i, config, x_cat, eps_cat, states=st_i
+                )
+                l = fused_elbo_part(params_i, consts_i, y_i, outs, st_i)
+                mu_top, var_top = outs[top]
+                theta = loss_theta_factors(
+                    mu_top[b : b + p], var_top[b : b + p], thr_i, eps_const,
+                    data.front_mask,
+                )
+                return l - theta, (mu_top[b + p :], var_top[b + p :])
+
+            eps_b_c = jax.random.normal(keys[2], (num_con, fm1, b), dtype=dtype)
+            eps_p_c = jax.random.normal(keys[3], (num_con, fm1, p), dtype=dtype)
+            eps_t_c = jax.random.normal(
+                keys[5], (num_con, fm1, NUM_OMEGA_POINTS), dtype=dtype
+            )
+            eps_c = jnp.concatenate([eps_b_c, eps_p_c, eps_t_c], axis=-1)
+            con_losses, (cs_mean, cs_var) = jax.vmap(
+                con_term_f, in_axes=(0, trainer.CONSTS_AXES, 0, 0, 0, 0)
+            )(con_params, con_consts, data.ys_con, data.thresholds, eps_c, states_c)
+            loss = loss + jnp.sum(con_losses)
+        else:
+            cs_mean = jnp.zeros((0, NUM_OMEGA_POINTS), dtype=dtype)
+            cs_var = jnp.ones((0, NUM_OMEGA_POINTS), dtype=dtype)
+
+        omega = loss_omega_factors(
+            fs_mean, fs_var, cs_mean, cs_var, data.thresholds,
+            data.pareto_front, data.front_mask, eps_const,
+        )
+        return loss - omega
 
     # ---- objectives ----
     def obj_term(params_i, consts_i, y_i, front_i, eps_b, eps_p, st_i):
@@ -246,6 +327,7 @@ def train_conditioned_carry(
     eps_const: float,
     batch_size: int,
     opt_state=None,
+    fused: bool = False,
 ):
     """Joint conditioned training scan with explicit Adam-state carry;
     opt_state=None starts fresh, passing it back continues (used to chunk
@@ -261,12 +343,13 @@ def train_conditioned_carry(
     # vmap over a zero-length leading axis is valid: with no constraints the
     # stacked con pytree is explicitly empty and this yields empty masks
     mask_c = jax.vmap(trainer.mask_fix_cond)(con_params)
-    opt = optax.adam(lr, eps=1e-8)
+    opt = trainer.make_adam(lr)
 
     def loss_fn(ps, key, bidx, bw):
         op, cp = ps
         return conditioned_loss(
-            op, cp, obj_consts, con_consts, config, data, key, eps_const, bidx, bw
+            op, cp, obj_consts, con_consts, config, data, key, eps_const, bidx,
+            bw, fused=fused,
         )
 
     grad_fn = jax.value_and_grad(loss_fn)
@@ -304,7 +387,8 @@ def train_conditioned_carry(
 
 train_conditioned_carry_jit = jax.jit(
     train_conditioned_carry,
-    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size"),
+    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size",
+                     "fused"),
 )
 
 
@@ -374,8 +458,13 @@ def train_conditioned_chunked(
     batch_size: int,
 ):
     """Bounded-program chunking of the conditioned phase (single XLA programs
-    running longer than ~2 min crash the axon TPU worker)."""
+    running longer than ~2 min crash the axon TPU worker).
+
+    MOBOCMF_FUSED_COND=1 selects the fused-evaluation conditioned loss (one
+    forward per model over [batch; X*; x_tilde] — identical math, fewer
+    kernels per step); default off until the TPU step-time A/B lands."""
     _check_shared_inducing(obj_consts, con_consts)
+    fused = os.environ.get("MOBOCMF_FUSED_COND", "0") == "1"
     c = trainer.chunk_size_for(data.x.shape[0])
     sizes = [c] * (num_iters // c)
     if num_iters % c:
@@ -387,7 +476,7 @@ def train_conditioned_chunked(
         op, cp, opt_state, ls = train_conditioned_carry_jit(
             op, cp, obj_consts, con_consts, config, data,
             jax.random.fold_in(key, ci), sz, lr, eps_const, batch_size,
-            opt_state,
+            opt_state, fused=fused,
         )
         losses.append(ls)
         heartbeat.beat(f"cond:chunk{ci}")

@@ -218,6 +218,22 @@ class BlackBoxMFDGPFitter:
             )
             sys.stdout.flush()
 
+        # Fail fast on non-finite trained parameters: a NaN model makes every
+        # downstream RFF sample NaN, which turns the feasibility retry loop
+        # (sample_and_store_pareto_solution, reference retry-forever
+        # semantics) into an INFINITE spin — observed in the r5
+        # branin_currin_512 campaign before the safe_cholesky relative-jitter
+        # floors landed. A loud error + the queue's resume-safe retry beats
+        # a silently hung campaign.
+        if not all(
+            bool(jnp.all(jnp.isfinite(leaf))) for leaf in jax.tree.leaves(sp)
+        ):
+            raise RuntimeError(
+                f"[{label}] unconditioned training produced non-finite "
+                "parameters (f32 numerical escape; check safe_cholesky "
+                "escalation and output scaling)"
+            )
+
         per_model = trainer.unstack_params(sp, nm)
         for (n, is_con, _), p in zip(entries, per_model):
             d = self.models_cons if is_con else self.models_objs

@@ -23,6 +23,7 @@ masked with zero weights.
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -121,6 +122,21 @@ class EpochLog(NamedTuple):
     kl: Array
 
 
+def make_adam(lr: float):
+    """Adam with the reference's eps (torch default 1e-8).
+
+    MOBOCMF_FLAT_ADAM=1 wraps it in optax.flatten: the per-leaf update math
+    (identical element-wise; XLA re-fusion moves results ~1e-14 in f64) runs
+    on ONE raveled vector —
+    a step-time experiment for the HLO-count-bound small-m regime where ~14
+    param leaves otherwise each carry their own mu/nu update ops. Default off
+    until the TPU step-time A/B lands (benchmarks/ab_step_time.py)."""
+    opt = optax.adam(lr, eps=1e-8)
+    if os.environ.get("MOBOCMF_FLAT_ADAM", "0") == "1":
+        opt = optax.flatten(opt)
+    return opt
+
+
 def _batch_plan(num_data: int, batch_size: int) -> Tuple[int, int]:
     batch_size = min(batch_size, num_data)
     num_batches = math.ceil(num_data / batch_size)
@@ -164,7 +180,7 @@ def train_phase_carry(
     if row_weights is None:
         row_weights = jnp.ones((n,), dtype=x.dtype)
     nd = jnp.sum(row_weights) if num_data is None else num_data
-    opt = optax.adam(lr, eps=1e-8)
+    opt = make_adam(lr)
 
     def loss_fn(p, xb, yb, fb, wb, eps):
         elbo, kl = elbo_terms(p, consts, config, xb, yb, fb, eps, nd, weights=wb)

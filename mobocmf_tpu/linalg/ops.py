@@ -45,15 +45,38 @@ def _ok_elem(l: Array) -> Array:
     return jnp.all(jnp.isfinite(jnp.diagonal(l, axis1=-2, axis2=-1)), axis=-1)
 
 
-def _rescue(k: Array, j0, ok0: Array) -> Array:
-    """Per-element jitter escalation 1x -> 100x -> 10000x (rare path).
+def _diag_scale(k: Array) -> Array:
+    """Per-matrix mean |diagonal| (stop-gradient), shape k.shape[:-2].
 
-    Elements that already factorized keep their jitter (and recompute the
-    same factor); failed elements escalate independently — this only runs
-    when at least one element of the batch failed."""
-    j1 = jnp.where(ok0, j0, jnp.asarray(j0) * 100.0)
+    The f32 jitter floors below are relative to this scale; like
+    safe_cholesky_rel, the (tiny, regularization-only) dependence of the
+    jitter on k is excluded from autodiff."""
+    return jnp.mean(
+        jnp.abs(jnp.diagonal(jax.lax.stop_gradient(k), axis1=-2, axis2=-1)),
+        axis=-1,
+    )
+
+
+def _rescue(k: Array, j0, ok0: Array) -> Array:
+    """Per-element jitter escalation with scale-RELATIVE floors (rare path).
+
+    The pre-fix ladder was purely absolute (100x, 10000x): on kernel
+    matrices whose outputs are large (e.g. Branin-scale y -> trained
+    outputscale ~1e3-1e4) even 10000x the reference's 2e-6 jitter is ~5e-6
+    RELATIVE — below f32 rounding of the Gram itself once near-duplicate
+    inducing rows appear, so every escalation failed and training went NaN
+    (observed: branin_currin_512 r5 campaign, iteration 5). Floors: 256*eps
+    and sqrt(eps) of the mean diagonal (f32: ~3e-5 / ~3.4e-4 relative; the
+    final attempt is guaranteed factorizable for any finite PSD-up-to-
+    rounding matrix). Elements that already factorized keep their jitter
+    (and recompute the same factor); failed elements escalate independently."""
+    eps = jnp.asarray(jnp.finfo(k.dtype).eps, dtype=k.dtype)
+    scale = _diag_scale(k)
+    j1 = jnp.where(ok0, j0, jnp.maximum(jnp.asarray(j0) * 100.0, 256.0 * eps * scale))
     l1 = _attempt(k, j1)
-    j2 = jnp.where(_ok_elem(l1), j1, j1 * 100.0)
+    j2 = jnp.where(
+        _ok_elem(l1), j1, jnp.maximum(j1 * 100.0, jnp.sqrt(eps) * scale)
+    )
     return _attempt(k, j2)
 
 
@@ -61,12 +84,19 @@ def _rescue(k: Array, j0, ok0: Array) -> Array:
 def _chol_escalate(k: Array, jitter: Array) -> Array:
     # Happy path costs exactly ONE factorization: the predicate reduces over
     # ALL batch dims to a scalar, so lax.cond stays a real branch.
-    l0 = _attempt(k, jitter)
+    # The first attempt floors the caller's (reference-exact) jitter at
+    # 4*eps*mean_diag — inactive at the reference's O(1)-output scales
+    # (4*eps ~ 4.8e-7 < 2e-6), active on large-output Grams where an
+    # absolute 2e-6 is below f32 rounding and the factor, even when it
+    # succeeds, is barely conditioned (diverging-gradient regime).
+    eps = jnp.asarray(jnp.finfo(k.dtype).eps, dtype=k.dtype)
+    j0 = jnp.maximum(jitter, 4.0 * eps * _diag_scale(k))
+    l0 = _attempt(k, j0)
     ok0 = _ok_elem(l0)
     return jax.lax.cond(
         jnp.all(ok0),
         lambda _: l0,
-        lambda _: _rescue(k, jitter, ok0),
+        lambda _: _rescue(k, j0, ok0),
         None,
     )
 
@@ -115,9 +145,12 @@ def safe_cholesky(k: Array, jitter) -> Array:
     """Cholesky of k + jitter*I with escalating-jitter fallback (f32 only).
 
     In f64 this is a single factorization identical to the reference's
-    2e-6-jitter one. In f32 (TPU fast path) a failed factorization (NaN
-    diagonal) escalates the jitter 100x, twice; a custom VJP evaluated on the
-    final finite factor keeps failed attempts out of the autodiff graph."""
+    2e-6-jitter one. In f32 (TPU fast path) the jitter gets a 4*eps*scale
+    relative floor (inactive at O(1) output scales), and a failed
+    factorization (NaN diagonal) escalates 100x twice with 256*eps*scale /
+    sqrt(eps)*scale relative floors — see _rescue for the large-output-scale
+    failure this fixes. A custom VJP evaluated on the final finite factor
+    keeps failed attempts out of the autodiff graph."""
     if k.dtype == jnp.float64:
         return cholesky(add_jitter(k, jitter))
     return _safe_cholesky_f32(k, jnp.asarray(jitter, dtype=k.dtype))

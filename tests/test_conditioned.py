@@ -282,6 +282,69 @@ def test_conditioned_loss_finite_on_all_padded_minibatch():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_conditioned_loss_fused_matches_unfused():
+    """The fused-evaluation conditioned loss (one forward per model over
+    [batch; X*; x_tilde], MOBOCMF_FUSED_COND) must equal the three-forward
+    path exactly: the eps draws use the same keys/shapes concatenated along
+    the row axis, and the forward is row-independent given states — value AND
+    gradients agree to f64 solve precision, with and without constraints."""
+    from mobocmf_tpu.fit import trainer
+    from mobocmf_tpu.fit.conditioned import ConditionedData, conditioned_loss
+    from mobocmf_tpu.models import mfdgp as M
+
+    rng = np.random.default_rng(11)
+    n, d, p = 12, 2, 4
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    ys = rng.normal(size=(4, n))
+    models = [
+        M.init_mfdgp(jax.random.key(i), x, jnp.asarray(y[:, None]), fid, 2)
+        for i, y in enumerate(ys)
+    ]
+    op, oc, config = trainer.stack_models(models[:2])
+    batch_idx = jnp.arange(n)
+    for with_con in (True, False):
+        if with_con:
+            cp, cc, _ = trainer.stack_models(models[2:])
+            ys_con = jnp.asarray(ys[2:])
+            thresholds = jnp.zeros(2)
+        else:
+            cp = jax.tree.map(lambda a: a[:0], op)
+            cc = oc._replace(
+                acq_eps=oc.acq_eps[:0],
+                noise_lower=oc.noise_lower[:0],
+                noise_upper=oc.noise_upper[:0],
+            )
+            ys_con = jnp.zeros((0, n))
+            thresholds = jnp.zeros(0)
+        data = ConditionedData(
+            x=x,
+            ys_obj=jnp.asarray(ys[:2]),
+            ys_con=ys_con,
+            fidelities=fid,
+            pareto_set=jnp.asarray(rng.uniform(size=(p, d))),
+            pareto_front=jnp.asarray(rng.normal(size=(p, 2))),
+            front_mask=jnp.asarray([True, True, True, False]),
+            thresholds=thresholds,
+            row_weights=jnp.concatenate([jnp.ones(n - 2), jnp.zeros(2)]),
+        )
+        batch_w = data.row_weights
+
+        def loss_fn(ps, fused):
+            return conditioned_loss(
+                ps[0], ps[1], oc, cc, config, data, jax.random.key(7), 1e-8,
+                batch_idx, batch_w, fused=fused,
+            )
+
+        l_ref, g_ref = jax.value_and_grad(lambda ps: loss_fn(ps, False))((op, cp))
+        l_fus, g_fus = jax.value_and_grad(lambda ps: loss_fn(ps, True))((op, cp))
+        np.testing.assert_allclose(float(l_fus), float(l_ref), rtol=1e-9)
+        for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
+            )
+
+
 def test_conditioned_rejects_mismatched_inducing_inputs():
     """The obj/con stacked-states fusion is only valid when both groups share
     the SAME inducing inputs (coupled-evaluation contract). Same-shaped but

@@ -93,6 +93,51 @@ def test_safe_cholesky_f32_gradients_finite_under_escalation():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_safe_cholesky_large_scale_f32_duplicate_rows():
+    """Regression: the r5 branin_currin_512 campaign NaN'd because large
+    outputs (trained outputscale ~1e3-1e4) make the ABSOLUTE escalation
+    ladder (2e-6 -> 2e-4 -> 2e-2) ~5e-6 relative at best — below f32 Gram
+    rounding once near-duplicate inducing rows appear. The scale-relative
+    floors must factor such matrices and keep gradients finite."""
+    from mobocmf_tpu.linalg.ops import safe_cholesky
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(size=(256, 2))
+    x[200] = x[100]  # exact duplicate rows (duplicate training inputs)
+    x[201] = x[101] + 1e-7
+    d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
+    scale = 4000.0  # Branin-like trained outputscale
+    k = (scale * np.exp(-0.5 * d2 / 0.25)).astype(np.float32)
+
+    def loss(kk):
+        l = safe_cholesky(kk, 2e-6)  # reference jitter, hopeless at scale 4e3
+        return jnp.sum(l * l) / scale
+
+    val, g = jax.value_and_grad(loss)(jnp.asarray(k))
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the factor reconstructs K to f32 accuracy at this scale
+    l = safe_cholesky(jnp.asarray(k), 2e-6)
+    rec = np.asarray(l) @ np.asarray(l).T
+    np.testing.assert_allclose(rec, k, atol=scale * 5e-3)
+
+    # the same matrix under vmap (the stacked-training path that NaN'd)
+    kb = jnp.asarray(np.stack([k, k]))
+    lb = jax.jit(jax.vmap(lambda kk: safe_cholesky(kk, 2e-6)))(kb)
+    assert bool(jnp.all(jnp.isfinite(lb)))
+
+
+def test_safe_cholesky_f64_path_is_exact_reference_jitter():
+    """The f64 (parity) path must remain a single plain factorization at the
+    caller's exact jitter — the f32 relative floors must not leak into it."""
+    from mobocmf_tpu.linalg.ops import add_jitter, safe_cholesky
+
+    k = jnp.asarray(_spd(24, seed=3, dtype=np.float64) * 3000.0)
+    l_safe = safe_cholesky(k, 2e-6)
+    l_plain = jnp.linalg.cholesky(add_jitter(k, 2e-6))
+    np.testing.assert_array_equal(np.asarray(l_safe), np.asarray(l_plain))
+
+
 def test_safe_cholesky_vmap_keeps_true_branch():
     """Batched safe_cholesky must keep a real HLO conditional.
 
