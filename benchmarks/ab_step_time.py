@@ -29,10 +29,13 @@ import subprocess
 import sys
 import time
 
+# fused_cond defaulted ON after the CPU-lowering preview (-37% HLO, -60%
+# dots); every variant pins BOTH flags explicitly so the A/B stays
+# well-defined regardless of defaults.
 VARIANTS = {
-    "base": {},
-    "flat_adam": {"MOBOCMF_FLAT_ADAM": "1"},
-    "fused_cond": {"MOBOCMF_FUSED_COND": "1"},
+    "base": {"MOBOCMF_FLAT_ADAM": "0", "MOBOCMF_FUSED_COND": "0"},
+    "flat_adam": {"MOBOCMF_FLAT_ADAM": "1", "MOBOCMF_FUSED_COND": "0"},
+    "fused_cond": {"MOBOCMF_FLAT_ADAM": "0", "MOBOCMF_FUSED_COND": "1"},
     "both": {"MOBOCMF_FLAT_ADAM": "1", "MOBOCMF_FUSED_COND": "1"},
 }
 

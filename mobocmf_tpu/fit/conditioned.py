@@ -460,11 +460,15 @@ def train_conditioned_chunked(
     """Bounded-program chunking of the conditioned phase (single XLA programs
     running longer than ~2 min crash the axon TPU worker).
 
-    MOBOCMF_FUSED_COND=1 selects the fused-evaluation conditioned loss (one
-    forward per model over [batch; X*; x_tilde] — identical math, fewer
-    kernels per step); default off until the TPU step-time A/B lands."""
+    The fused-evaluation conditioned loss (one forward per model over
+    [batch; X*; x_tilde]) is the DEFAULT: identical math (value+grad
+    equivalence at 1e-9, tests/test_conditioned.py) with 37% fewer HLO
+    instructions / 60% fewer dots in the compiled step (CPU lowering, 2+2
+    models at m=128) — the phase is kernel-launch bound on TPU.
+    MOBOCMF_FUSED_COND=0 restores the three-forward path (A/B harness:
+    benchmarks/ab_step_time.py)."""
     _check_shared_inducing(obj_consts, con_consts)
-    fused = os.environ.get("MOBOCMF_FUSED_COND", "0") == "1"
+    fused = os.environ.get("MOBOCMF_FUSED_COND", "1") == "1"
     c = trainer.chunk_size_for(data.x.shape[0])
     sizes = [c] * (num_iters // c)
     if num_iters % c:
