@@ -28,6 +28,10 @@ SEED = 7
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--whitened", action="store_true",
+                    help="whitened parameterization: the KL loses its K^-1 "
+                    "(the suspected stiffness source at near-duplicate "
+                    "inducing rows)")
     ap.add_argument("--n-init", type=int, default=490)
     ap.add_argument("--epochs1", type=int, default=1000)
     ap.add_argument("--epochs2", type=int, default=4000)
@@ -80,7 +84,10 @@ def main():
     xj = jnp.asarray(x, dtype=dtype)
     fj = jnp.asarray(fid, dtype=jnp.int32)
     models = [
-        M.init_mfdgp(jax.random.key(i), xj, jnp.asarray(ys[n_][:, None], dtype=dtype), fj, 2)
+        M.init_mfdgp(
+            jax.random.key(i), xj, jnp.asarray(ys[n_][:, None], dtype=dtype),
+            fj, 2, whitened=args.whitened,
+        )
         for i, n_ in enumerate(names)
     ]
     sp, sc, config = trainer.stack_models(models)

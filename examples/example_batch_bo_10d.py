@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--iters", type=int, default=6)
     parser.add_argument("--q", type=int, default=16)
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--whitened", action="store_true",
+                        help="whitened parameterization (recommended at "
+                        "large m; see example_branin_currin_512.py)")
     parser.add_argument("--log-dir", default="batch10d_logs")
     parser.add_argument(
         "--eval-highest-fidelity", action="store_true",
@@ -84,6 +87,7 @@ def main():
         q=args.q, pad_data=True,
         track_recommendation=args.track_recommendation,
         eval_highest_fidelity=args.eval_highest_fidelity,
+        whitened=args.whitened,
     )
     if args.fast:
         config = BOConfig(

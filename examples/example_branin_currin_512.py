@@ -34,6 +34,12 @@ def main():
     # 824 s — the outlier VERDICT r2 flagged)
     parser.add_argument("--n-init", type=int, default=490)
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--whitened", action="store_true",
+                        help="whitened parameterization — at m=512 the "
+                        "unwhitened KL's m^T K^-1 m is stiff along near-"
+                        "duplicate inducing directions (phase-2 divergence, "
+                        "benchmarks/diag_bc512_divergence.py); whitening "
+                        "removes K^-1 from the KL")
     parser.add_argument("--log-dir", default="bc512_logs")
     parser.add_argument(
         "--track-recommendation", action="store_true",
@@ -68,7 +74,8 @@ def main():
     fid_init = np.concatenate([np.zeros(n_low), np.ones(n_high)]).astype(int)
 
     common = dict(num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
-                  track_recommendation=args.track_recommendation)
+                  track_recommendation=args.track_recommendation,
+                  whitened=args.whitened)
     if args.fast:
         config = BOConfig(
             num_epochs_1=10, num_epochs_2=20, opt_grid_size=50,

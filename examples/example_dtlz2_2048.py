@@ -40,6 +40,9 @@ def main():
     parser.add_argument("--n-init", type=int, default=2040)
     parser.add_argument("--full-epochs", action="store_true")
     parser.add_argument("--fast", action="store_true")
+    parser.add_argument("--whitened", action="store_true",
+                        help="whitened parameterization (recommended at "
+                        "large m; see example_branin_currin_512.py)")
     parser.add_argument("--log-dir", default="dtlz2_2048_logs")
     parser.add_argument(
         "--track-recommendation", action="store_true",
@@ -91,6 +94,7 @@ def main():
         num_fidelities=3, num_bo_iterations=args.iters, seed=SEED,
         log_dir=args.log_dir,
         track_recommendation=args.track_recommendation,
+        whitened=args.whitened,
         # full batch (batch_size=None): the m=2048 inducing Cholesky is paid
         # once per optimizer step either way, so minibatching only multiplies
         # factorizations per epoch
