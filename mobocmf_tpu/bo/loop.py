@@ -354,6 +354,16 @@ def run_bo_loop(
                 cond.sample_and_store_pareto_solution()
                 phase_t["pareto"] = _time.time() - t0
                 heartbeat.beat(f"iter{it}:pareto")
+                if log_dir is not None:
+                    # MOOP attempts consumed (1 = first draw feasible):
+                    # attributes pareto-phase time variance from committed
+                    # artifacts instead of run logs
+                    with open(
+                        os.path.join(log_dir, "pareto_resamples.txt"), "a"
+                    ) as fh:
+                        fh.write(
+                            f"{it} {n} {getattr(cond, 'pareto_tries', 0)}\n"
+                        )
                 t0 = _time.time()
                 cond.train_conditioned_mfdgps()
                 phase_t["cond"] = _time.time() - t0

@@ -264,6 +264,7 @@ class BlackBoxMFDGPFitter:
     def _sample_and_store_pareto_solution(self):
         l_samples_objs = self._sample_models(self.obj_names, self.models_objs)
         obj_fns = [SampledFunction(rff.eval_sample_fn, s) for s in l_samples_objs]
+        self.pareto_tries = getattr(self, "pareto_tries", 0)
 
         global_optimizer = None
         for try_idx in range(MAX_TRIES_FOR_FEASIBLE_GRID):
@@ -290,6 +291,7 @@ class BlackBoxMFDGPFitter:
                 polish=self.polish,
                 mesh=self.mesh,
             )
+            self.pareto_tries += 1
             res = global_optimizer.compute_pareto_solution_from_samples(
                 self.x_train, self._next_key(),
                 inputs_valid=np.asarray(self.row_weights) > 0,
@@ -305,6 +307,7 @@ class BlackBoxMFDGPFitter:
                     "constraint resamples; retrying"
                 )
                 sys.stdout.flush()
+        self.pareto_tries += 1
         res = global_optimizer.compute_pareto_solution_from_samples(
             self.x_train, self._next_key(), allow_negative_constraints=True,
             inputs_valid=np.asarray(self.row_weights) > 0,
@@ -320,7 +323,13 @@ class BlackBoxMFDGPFitter:
         )
 
     def sample_and_store_pareto_solution(self):
-        """Retry-forever wrapper (reference :219-225)."""
+        """Retry-forever wrapper (reference :219-225).
+
+        self.pareto_tries records the MOOP attempts this call consumed
+        (1 = first draw worked); the BO loop writes it to the evidence dir
+        (pareto_resamples.txt) so phase-time variance is attributable from
+        committed artifacts."""
+        self.pareto_tries = 0
         while True:
             try:
                 return self._sample_and_store_pareto_solution()
