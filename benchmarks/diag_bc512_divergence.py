@@ -32,6 +32,10 @@ def main():
                     help="whitened parameterization: the KL loses its K^-1 "
                     "(the suspected stiffness source at near-duplicate "
                     "inducing rows)")
+    ap.add_argument("--whitened-init", default="match",
+                    choices=("match", "prior"),
+                    help="'match' = exact conversion of the reference init "
+                    "(|m_w| ~ 285 at singular K); 'prior' = q(u)=N(0,Kzz)")
     ap.add_argument("--n-init", type=int, default=490)
     ap.add_argument("--epochs1", type=int, default=1000)
     ap.add_argument("--epochs2", type=int, default=4000)
@@ -86,7 +90,7 @@ def main():
     models = [
         M.init_mfdgp(
             jax.random.key(i), xj, jnp.asarray(ys[n_][:, None], dtype=dtype),
-            fj, 2, whitened=args.whitened,
+            fj, 2, whitened=args.whitened, whitened_init=args.whitened_init,
         )
         for i, n_ in enumerate(names)
     ]

@@ -40,6 +40,10 @@ def main():
                         "duplicate inducing directions (phase-2 divergence, "
                         "benchmarks/diag_bc512_divergence.py); whitening "
                         "removes K^-1 from the KL")
+    parser.add_argument("--whitened-init", default="match",
+                        choices=("match", "prior"),
+                        help="'prior' = standard whitened-SVGP init "
+                        "q(u)=N(0,Kzz), scale-independent (docs/SCALING.md)")
     parser.add_argument("--log-dir", default="bc512_logs")
     parser.add_argument(
         "--track-recommendation", action="store_true",
@@ -75,7 +79,7 @@ def main():
 
     common = dict(num_bo_iterations=args.iters, seed=SEED, log_dir=args.log_dir,
                   track_recommendation=args.track_recommendation,
-                  whitened=args.whitened)
+                  whitened=args.whitened, whitened_init=args.whitened_init)
     if args.fast:
         config = BOConfig(
             num_epochs_1=10, num_epochs_2=20, opt_grid_size=50,

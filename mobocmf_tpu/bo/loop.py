@@ -101,6 +101,11 @@ class BOConfig:
     # whitened coordinates exactly (models/mfdgp.py:304-341), so campaigns
     # start from the identical posterior either way.
     whitened: bool = False
+    # whitened init: "match" = exact conversion of the reference's unwhitened
+    # init (parity default); "prior" = standard whitened-SVGP init q(u) =
+    # N(0, Kzz) — scale-independent, recommended at large m where the exact
+    # conversion manufactures huge whitened coordinates (docs/SCALING.md §3)
+    whitened_init: str = "match"
     # optional jax.sharding.Mesh: shards the Pareto-sampling MOOP grid
     # evaluation (the 1000*d^2-point hot axis, reference moop.py:232) over
     # the mesh's 'dp' axis (parallel/sharding.sharded_grid_eval)
@@ -307,7 +312,8 @@ def run_bo_loop(
                 opt_grid_size=config.opt_grid_size,
                 type_lengthscale=config.type_lengthscale, seed=config.seed + it,
                 pad_data=config.pad_data, polish=config.polish,
-                whitened=config.whitened, mesh=config.mesh,
+                whitened=config.whitened, whitened_init=config.whitened_init,
+                mesh=config.mesh,
             )
             for bb in blackboxes:
                 mean, std = stats[bb.name]

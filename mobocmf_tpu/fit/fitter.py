@@ -51,6 +51,7 @@ class BlackBoxMFDGPFitter:
         type_lengthscale: TL = TL.MEDIAN,
         seed: int = 0,
         whitened: bool = False,
+        whitened_init: str = "match",
         pad_data: bool = False,
         polish: str = "slsqp",
         mesh=None,
@@ -98,6 +99,7 @@ class BlackBoxMFDGPFitter:
         self.decoupled_evals = decoupled_evals
         self.type_lengthscale = type_lengthscale
         self.whitened = whitened
+        self.whitened_init = whitened_init
         self.key = jax.random.key(seed)
         self._x_np: Optional[np.ndarray] = None
 
@@ -157,6 +159,7 @@ class BlackBoxMFDGPFitter:
             use_only_highest_fidelity=use_only_highest_fidelity,
             previously_trained=previously_trained_model,
             whitened=self.whitened,
+            whitened_init=self.whitened_init,
             init_params_to_prior_and_fix_them=init_params_to_prior_and_fix_them,
         )
         if is_constraint:

@@ -188,8 +188,20 @@ def init_mfdgp(
     previously_trained: Optional[MFDGPModel] = None,
     whitened: bool = False,
     init_params_to_prior_and_fix_them: bool = False,
+    whitened_init: str = "match",
 ) -> MFDGPModel:
     """Build a functional MFDGP for one blackbox.
+
+    whitened_init (whitened=True only): "match" converts the reference's
+    unwhitened init into whitened coordinates exactly (m_w = L_K^{-1} m) —
+    the parity-preserving default. At large m with inducing = training
+    inputs, Kzz is numerically singular and the exact conversion
+    manufactures |m_w| in the hundreds (a reparameterization-invariant init
+    KL the optimizer then carries for thousands of steps; docs/SCALING.md
+    §3). "prior" uses the standard whitened-SVGP init instead — m_w = 0,
+    L_w = I, i.e. q(u) = prior N(0, Kzz) — which is scale-independent and
+    well-conditioned; the two-phase schedule then learns the data from
+    scratch, as standard SVGP practice does.
 
     init_params_to_prior_and_fix_them: freeze-to-prior mode (reference
     mfdgp_hidden_layer.py:52-62,90-113,166-188): kernel hyperparameters are
@@ -215,7 +227,7 @@ def init_mfdgp(
             key, x_train, y_train, fidelities, num_fidelities,
             type_lengthscale, num_samples_for_acquisition,
             use_only_highest_fidelity, jitter, previously_trained, whitened,
-            init_params_to_prior_and_fix_them,
+            init_params_to_prior_and_fix_them, whitened_init,
         )
         # single-backend path has no fetch/ship stages; attribute the init to
         # "host" so setup_breakdown.txt stays truthful on CPU-forced runs
@@ -247,7 +259,7 @@ def init_mfdgp(
             key_cpu, jnp.asarray(x_np), jnp.asarray(y_np), jnp.asarray(f_np),
             num_fidelities, type_lengthscale, num_samples_for_acquisition,
             use_only_highest_fidelity, jitter, prev_cpu, whitened,
-            init_params_to_prior_and_fix_them,
+            init_params_to_prior_and_fix_them, whitened_init,
         )
         jax.block_until_ready((model.params, model.consts))
     t_host = _time.time() - t0
@@ -277,7 +289,10 @@ def _init_mfdgp_impl(
     previously_trained: Optional[MFDGPModel] = None,
     whitened: bool = False,
     init_params_to_prior_and_fix_them: bool = False,
+    whitened_init: str = "match",
 ) -> MFDGPModel:
+    if whitened_init not in ("match", "prior"):
+        raise ValueError(f"whitened_init must be 'match' or 'prior', got {whitened_init!r}")
     x_train = jnp.asarray(x_train)
     y_train = jnp.asarray(y_train).reshape(-1, 1).astype(x_train.dtype)
     fid = jnp.asarray(fidelities).reshape(-1)
@@ -344,7 +359,18 @@ def _init_mfdgp_impl(
         else:
             cov0 = 1e-8 * jnp.eye(z_x.shape[0], dtype=dtype)
         variational = svgp.init_variational(m0, cov0, dtype=dtype)
-        if whitened:
+        if whitened and whitened_init == "prior":
+            # standard whitened-SVGP init: q(v) = N(0, I), i.e. q(u) = the
+            # prior N(0, Kzz) — scale-independent (no L_K^{-1} amplification
+            # at singular Kzz) and well-conditioned at any m; the next
+            # layer's dynamic chain mean is exactly 0
+            m = z_x.shape[0]
+            variational = svgp.SVGPVariational(
+                mean=jnp.zeros((m,), dtype=dtype),
+                chol_raw=jnp.eye(m, dtype=dtype),
+            )
+            chain_prev = jnp.zeros((m,), dtype=dtype)
+        elif whitened:
             # Convert the reference's unwhitened init into whitened coords:
             # m_w = L_K^{-1} m, L_w = L_K^{-1} L_S, with K at the DYNAMIC init
             # Z (last column = previous layer's chain mean, the value the

@@ -37,6 +37,52 @@ def test_whitened_matches_unwhitened_at_init():
     np.testing.assert_allclose(float(kl_w), float(kl_u), rtol=1e-6)
 
 
+def test_whitened_prior_init():
+    """whitened_init='prior': q(v)=N(0,I) i.e. q(u)=prior — KL must be
+    exactly 0 at init, predictive mean 0 / variance = kernel prior variance,
+    the chain column 0, and a short training phase must run finite and
+    improve the ELBO. 'match' stays the default (exact reference-init
+    parity, pinned elsewhere)."""
+    import numpy as np
+
+    from mobocmf_tpu.fit import trainer as T
+    from mobocmf_tpu.mlls.elbo import elbo_terms
+
+    rng = np.random.default_rng(4)
+    n, d = 12, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.asarray(rng.normal(size=(n, 1)))
+    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    model = M.init_mfdgp(
+        jax.random.key(0), x, y, fid, 2, whitened=True, whitened_init="prior"
+    )
+    kl = M.kl_all_layers(model.params, model.consts, model.config)
+    np.testing.assert_allclose(float(kl), 0.0, atol=1e-12)
+
+    states = M.compute_layer_states(model.params, model.consts, model.config)
+    # dynamic chain column of layer 1's Z (last col) is the zero chain mean
+    np.testing.assert_allclose(np.asarray(states[1].z[:, -1]), 0.0, atol=1e-12)
+    eps = M.sample_eps(jax.random.key(1), model.config, n, x.dtype)
+    outs = M.forward(model.params, model.consts, model.config, x, eps, states=states)
+    np.testing.assert_allclose(np.asarray(outs[0][0]), 0.0, atol=1e-10)
+
+    p, logs = T.train_phase(
+        model.params, model.consts, model.config, x, y[:, 0], fid,
+        jax.random.key(2), 60, 0.003, "all_free", n,
+    )
+    losses = np.asarray(logs.loss)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    elbo, _ = elbo_terms(p, model.consts, model.config, x, y[:, 0], fid, eps, n)
+    assert np.isfinite(float(elbo))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        M.init_mfdgp(jax.random.key(0), x, y, fid, 2, whitened=True,
+                     whitened_init="bogus")
+
+
 def test_whitened_training_improves_elbo():
     x, y, fid = _data(seed=1)
     model = M.init_mfdgp(jax.random.key(0), x, y[:, None], fid, 2, whitened=True)
