@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy.stats import norm as scipy_norm
 
 from mobocmf_tpu.fit.conditioned import loss_omega_factors, loss_theta_factors
@@ -282,12 +283,16 @@ def test_conditioned_loss_finite_on_all_padded_minibatch():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
-def test_conditioned_loss_fused_matches_unfused():
+@pytest.mark.parametrize("num_fid", [2, 3])
+def test_conditioned_loss_fused_matches_unfused(num_fid):
     """The fused-evaluation conditioned loss (one forward per model over
     [batch; X*; x_tilde], MOBOCMF_FUSED_COND) must equal the three-forward
     path exactly: the eps draws use the same keys/shapes concatenated along
     the row axis, and the forward is row-independent given states — value AND
-    gradients agree to f64 solve precision, with and without constraints."""
+    gradients agree to f64 solve precision, with and without constraints,
+    at 2 AND 3 fidelities (the DTLZ2 scale config is 3-fidelity; f32 runs
+    differ by reduction-order rounding ~1e-4, so equivalence is pinned
+    in f64)."""
     from mobocmf_tpu.fit import trainer
     from mobocmf_tpu.fit.conditioned import ConditionedData, conditioned_loss
     from mobocmf_tpu.models import mfdgp as M
@@ -295,10 +300,10 @@ def test_conditioned_loss_fused_matches_unfused():
     rng = np.random.default_rng(11)
     n, d, p = 12, 2, 4
     x = jnp.asarray(rng.uniform(size=(n, d)))
-    fid = jnp.asarray((np.arange(n) % 2).astype(int))
+    fid = jnp.asarray((np.arange(n) % num_fid).astype(int))
     ys = rng.normal(size=(4, n))
     models = [
-        M.init_mfdgp(jax.random.key(i), x, jnp.asarray(y[:, None]), fid, 2)
+        M.init_mfdgp(jax.random.key(i), x, jnp.asarray(y[:, None]), fid, num_fid)
         for i, y in enumerate(ys)
     ]
     op, oc, config = trainer.stack_models(models[:2])
