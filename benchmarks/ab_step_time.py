@@ -49,6 +49,12 @@ EPOCHS = int(os.environ.get("MOBOCMF_AB_EPOCHS", "2000"))
 
 def run_one() -> dict:
     import jax
+
+    # MOBOCMF_AB_CPU=1 forces the CPU backend (inherited by subprocess
+    # children — the JAX_PLATFORMS env var is ignored in this image, and a
+    # stray child grabbing the TPU would collide with the evidence queue).
+    if os.environ.get("MOBOCMF_AB_CPU", "0") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 
@@ -108,6 +114,7 @@ def run_one() -> dict:
     dt_c = time.perf_counter() - t0
 
     return {
+        "backend": jax.devices()[0].platform,
         "uncond_steps_per_s": EPOCHS / dt_u,
         "cond_steps_per_s": EPOCHS / dt_c,
         "uncond_us_per_step": 1e6 * dt_u / EPOCHS,
@@ -124,9 +131,14 @@ def main():
         print(json.dumps(run_one()))
         return
     here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
     results = {}
     for name, env in VARIANTS.items():
+        # The child is invoked by absolute script path, so sys.path[0] is
+        # benchmarks/, not the repo root — put the root on PYTHONPATH or the
+        # mobocmf_tpu import fails (bit the round-5 queue run).
         child_env = dict(os.environ, **env)
+        child_env["PYTHONPATH"] = repo + os.pathsep + child_env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__), "--one"],
             env=child_env, capture_output=True, text=True,

@@ -28,3 +28,10 @@ run_tpu_job bc512_wprior 14400 python -u examples/example_branin_currin_512.py \
   --log-dir benchmarks/evidence/branin_currin_512_wprior_r5
 
 status "r5 v4 queue done"
+
+# Appended 15:45 (append-at-EOF is safe for a running bash script): the v3
+# ab_step_time run failed on a child sys.path bug (fixed in ab_step_time.py
+# — children now get the repo root on PYTHONPATH); re-measure on the TPU
+# after the wprior arm.
+run_tpu_job ab_step_time2 3600 python -u benchmarks/ab_step_time.py
+status "r5 v4 queue done (incl. ab_step_time rerun)"
