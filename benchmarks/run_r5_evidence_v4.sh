@@ -35,3 +35,13 @@ status "r5 v4 queue done"
 # after the wprior arm.
 run_tpu_job ab_step_time2 3600 python -u benchmarks/ab_step_time.py
 status "r5 v4 queue done (incl. ab_step_time rerun)"
+
+# Appended 16:55 (append-at-EOF safe): endgame bench reruns. The acq
+# explicit-inverse A/B landed 8.7x on TPU (evidence/ab_acq_inv_r5.txt) and
+# the default flips ON once the wprior solve-path arm above has finished;
+# these two runs measure the end-to-end iteration with the winning flags so
+# the headline row and the flat-Adam decision rest on full-iteration data,
+# not just the microbench.
+run_tpu_job bench_acqinv 7200 env MOBOCMF_ACQ_INV=1 python -u bench.py
+run_tpu_job bench_final 7200 env MOBOCMF_ACQ_INV=1 MOBOCMF_FLAT_ADAM=1 python -u bench.py
+status "r5 v4 queue done (incl. endgame bench reruns)"
