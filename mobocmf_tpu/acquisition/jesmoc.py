@@ -73,12 +73,16 @@ def info_gain(
 # per-model layer states, shared helper with fit/conditioned.py
 _stacked_states = trainer.states_stacked
 
-# A/B switch (read at import): carry explicit L^{-1} in the acquisition
-# states so every L-BFGS-loop predictive solve becomes an MXU matmul
-# (models/svgp.predict_diag_state). Off by default until TPU-measured —
-# numerically it perturbs acq values by ~cond(L)*eps (f32 ~1e-4), which the
-# argmax is insensitive to (tests/test_fused_acq.py tolerance).
-ACQ_INV_SOLVES = os.environ.get("MOBOCMF_ACQ_INV", "0") == "1"
+# Switch (read at import): carry explicit L^{-1} in the acquisition states
+# so every L-BFGS-loop predictive solve becomes an MXU matmul
+# (models/svgp.predict_diag_state). ON by default since the round-5 TPU A/B:
+# fused coupled-JES warm median 881 ms vs 7699 ms with triangular solves —
+# 8.7x (benchmarks/evidence/ab_acq_inv_r5.txt). Numerically it perturbs acq
+# values by ~cond(L)*eps (f32 ~1e-4), which the argmax is insensitive to
+# (tests/test_fused_acq.py tolerance); the full acquisition test set incl.
+# f64 torch-mirror parity passes either way. MOBOCMF_ACQ_INV=0 restores the
+# solve path.
+ACQ_INV_SOLVES = os.environ.get("MOBOCMF_ACQ_INV", "1") == "1"
 
 
 def _coupled_gain_stacked(su_p, su_c, sc_p, sc_c, config, fidelity, x,
