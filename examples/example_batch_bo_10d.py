@@ -34,6 +34,11 @@ def main():
     parser.add_argument("--whitened", action="store_true",
                         help="whitened parameterization (recommended at "
                         "large m; see example_branin_currin_512.py)")
+    parser.add_argument("--whitened-init", default="match",
+                        choices=("match", "prior"),
+                        help="'prior' = standard whitened-SVGP init "
+                        "q(v)=N(0,I) — the measured at-scale "
+                        "recommendation (docs/SCALING.md, bc512 A/B)")
     parser.add_argument("--log-dir", default="batch10d_logs")
     parser.add_argument(
         "--eval-highest-fidelity", action="store_true",
@@ -87,7 +92,7 @@ def main():
         q=args.q, pad_data=True,
         track_recommendation=args.track_recommendation,
         eval_highest_fidelity=args.eval_highest_fidelity,
-        whitened=args.whitened,
+        whitened=args.whitened, whitened_init=args.whitened_init,
     )
     if args.fast:
         config = BOConfig(

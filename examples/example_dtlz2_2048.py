@@ -43,6 +43,11 @@ def main():
     parser.add_argument("--whitened", action="store_true",
                         help="whitened parameterization (recommended at "
                         "large m; see example_branin_currin_512.py)")
+    parser.add_argument("--whitened-init", default="match",
+                        choices=("match", "prior"),
+                        help="'prior' = standard whitened-SVGP init "
+                        "q(v)=N(0,I) — the measured at-scale "
+                        "recommendation (docs/SCALING.md, bc512 A/B)")
     parser.add_argument("--log-dir", default="dtlz2_2048_logs")
     parser.add_argument(
         "--track-recommendation", action="store_true",
@@ -94,7 +99,7 @@ def main():
         num_fidelities=3, num_bo_iterations=args.iters, seed=SEED,
         log_dir=args.log_dir,
         track_recommendation=args.track_recommendation,
-        whitened=args.whitened,
+        whitened=args.whitened, whitened_init=args.whitened_init,
         # full batch (batch_size=None): the m=2048 inducing Cholesky is paid
         # once per optimizer step either way, so minibatching only multiplies
         # factorizations per epoch
