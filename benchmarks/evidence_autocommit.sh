@@ -9,11 +9,14 @@ echo $$ > /tmp/r5_autocommit.pid
 while :; do
   sleep 900
   git add -A benchmarks/evidence 2>/dev/null
-  if ! git diff --cached --quiet; then
-    changed=$(git diff --cached --name-only | sed 's|benchmarks/evidence/||' \
-      | cut -d/ -f1 | sort -u | tr '\n' ' ')
+  # Pathspec'd commit: a plain `git commit` would sweep anything a
+  # concurrent session has staged into an "evidence autocommit" message.
+  if ! git diff --cached --quiet -- benchmarks/evidence; then
+    changed=$(git diff --cached --name-only -- benchmarks/evidence \
+      | sed 's|benchmarks/evidence/||' | cut -d/ -f1 | sort -u | tr '\n' ' ')
     git commit -q -m "evidence autocommit: ${changed}" \
-      -m "No-Verification-Needed: campaign evidence files only, no source change"
+      -m "No-Verification-Needed: campaign evidence files only, no source change" \
+      -- benchmarks/evidence
     echo "$(date '+%F %T') committed: ${changed}" >> /tmp/r5_autocommit.log
   fi
 done
