@@ -27,31 +27,41 @@ import numpy as np
 PHASES = ("setup", "train", "pareto", "cond", "acq", "recommend")
 
 
-def warm_rows(m, k):
+def warm_rows(m, k, process_starts=None):
     """Steady-state rows of a per-iteration log whose column 0 is the BO
     iteration index.
 
     Rows are appended across resumes and 86/124 retries, so positional
     slicing is wrong twice over: a resumed arm's file doesn't start at
     iteration 0, and every retry re-introduces cold-compile rows mid-file.
-    Filter on the index column instead (idx > k), and additionally drop the
-    first row after any index discontinuity (a resume/retry process boundary
-    — that row carries fresh-process compiles), including a file that starts
-    mid-campaign.
+    Filter on the index column instead (idx > k), and drop every iteration
+    recorded in process_starts.txt (bo/loop.py appends the first iteration
+    of each process — those rows carry fresh-process compiles; a resume at
+    exactly prev+1 is indistinguishable from a warm row by index alone).
+    For older evidence dirs without the file, fall back to the index
+    heuristic: drop the first row after any index discontinuity, including
+    a file that starts mid-campaign.
     """
     if m is None or m.shape[0] == 0:
         return m
     idx = m[:, 0]
     keep = idx > k
-    prev = np.concatenate([[idx[0] - 1.0], idx[:-1]])
-    keep &= idx == prev + 1.0
-    if idx[0] != 0:  # file starts mid-campaign -> its first row is cold
-        keep[0] = False
+    if process_starts is not None:
+        keep &= ~np.isin(idx, process_starts)
+    else:
+        prev = np.concatenate([[idx[0] - 1.0], idx[:-1]])
+        keep &= idx == prev + 1.0
+        if idx[0] != 0:  # file starts mid-campaign -> its first row is cold
+            keep[0] = False
     return m[keep]
 
 
 def load(d):
     out = {"name": os.path.basename(os.path.normpath(d))}
+    f = os.path.join(d, "process_starts.txt")
+    out["starts"] = (
+        np.atleast_1d(np.loadtxt(f)) if os.path.exists(f) else None
+    )
     f = os.path.join(d, "phase_seconds.txt")
     out["phase"] = np.atleast_2d(np.loadtxt(f)) if os.path.exists(f) else None
     f = os.path.join(d, "iteration_seconds.txt")
@@ -77,7 +87,8 @@ def main():
 
     print(f"A = {a['name']}   B = {b['name']}   (medians over iterations > {k})")
     if a["phase"] is not None and b["phase"] is not None:
-        pa, pb = warm_rows(a["phase"], k), warm_rows(b["phase"], k)
+        pa = warm_rows(a["phase"], k, a["starts"])
+        pb = warm_rows(b["phase"], k, b["starts"])
         if pa.shape[0] == 0 or pb.shape[0] == 0:
             print(f"phase medians skipped: too few warm iterations "
                   f"(A n={pa.shape[0]}, B n={pb.shape[0]} after --warm-after {k})")
@@ -96,7 +107,7 @@ def main():
             print(f"{'TOTAL (+recommend)':>18} {ta:9.2f} {tb:9.2f} {tb / ta:6.2f}")
     for r, tag in ((a, "A"), (b, "B")):
         if r["iter"] is not None:
-            w = warm_rows(r["iter"], k)
+            w = warm_rows(r["iter"], k, r["starts"])
             if w.shape[0] == 0:
                 print(f"iter wall-clock {tag}: too few warm iterations "
                       f"(n={r['iter'].shape[0]} <= --warm-after {k})")

@@ -28,7 +28,7 @@ from mobocmf_tpu.acquisition.jesmoc import JESMOC_MFDGP
 from mobocmf_tpu.fit.fitter import BlackBoxMFDGPFitter
 from mobocmf_tpu.models.mfdgp import TL
 from mobocmf_tpu.util import heartbeat
-from mobocmf_tpu.util.hypervolume import hypervolume
+from mobocmf_tpu.util.hypervolume import hypervolume, hypervolume_pair
 
 
 @dataclasses.dataclass
@@ -207,6 +207,13 @@ def run_bo_loop(
                 f"[resume] replayed {x_extra.shape[0]} evaluated points "
                 f"({start_iter} iterations)"
             )
+        # record which iteration THIS process starts at: its first iteration
+        # pays fresh-process compiles, and a resume at exactly prev+1 is
+        # indistinguishable from a warm row in phase_seconds.txt alone
+        # (benchmarks/compare_arms.py drops the recorded rows from warm
+        # medians)
+        with open(os.path.join(log_dir, "process_starts.txt"), "a") as fh:
+            fh.write(f"{start_iter}\n")
 
     def eval_all(x_pts: np.ndarray, f: np.ndarray) -> Dict[str, np.ndarray]:
         out: Dict[str, np.ndarray] = {}
@@ -697,9 +704,14 @@ def recommend_and_score(
             feas &= np.asarray(bb.fns[top](pts)).reshape(-1) >= bb.threshold
         return vals, feas
 
-    # optimal HV on the grid (true-feasible true-Pareto points, toy:600-614)
+    # optimal HV on the grid (true-feasible true-Pareto points, toy:600-614).
+    # Scored TOGETHER with the rec HV via hypervolume_pair so the
+    # HV_FRONT_CAP summarization can never apply asymmetrically (an
+    # independently-capped optimal side is a lower bound that can fall below
+    # the exact rec HV → negative gap); opt_pts is held here and both values
+    # are computed at the end.
     tv, tfeas = true_values(grid)
-    hv_opt = hypervolume(tv[tfeas], ref) if tfeas.any() else 0.0
+    opt_pts = tv[tfeas] if tfeas.any() else np.zeros((0, len(objs)))
 
     # model feasibility (P > feasibility_prob per constraint, latent noise
     # subtracted) + model-mean Pareto cull, all in one jitted device pass
@@ -735,6 +747,7 @@ def recommend_and_score(
     )
     feasible = np.asarray(feasible_j)
     if not feasible.any():
+        hv_opt, _ = hypervolume_pair(opt_pts, np.zeros((0, len(objs))), ref)
         return RecommendationScore(np.zeros((0, d)), 0.0, hv_opt, False, 0, 0, 0)
     mask = np.asarray(mask_j)
     rec_set = grid[mask]
@@ -747,7 +760,9 @@ def recommend_and_score(
     rec_vals = rec_vals[rec_feas]
     num_fini = int(rec_set.shape[0])
 
-    hv_rec = hypervolume(rec_vals, ref) if num_fini else 0.0
+    hv_opt, hv_rec = hypervolume_pair(
+        opt_pts, rec_vals if num_fini else np.zeros((0, len(objs))), ref
+    )
     return RecommendationScore(
         rec_set=rec_set, hv=hv_rec, hv_optimal=hv_opt, feasible=feasible_flag,
         num_infeasible=num_ini - num_fini, num_points_final=num_fini,

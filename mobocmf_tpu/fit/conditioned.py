@@ -40,6 +40,12 @@ from mobocmf_tpu.mlls.elbo import gaussian_expected_log_prob
 from mobocmf_tpu.models import mfdgp as M
 from mobocmf_tpu.util import heartbeat
 
+# Fused single-forward conditioned loss is the default (identical math at
+# 1e-9, 37% fewer HLO instructions; benchmarks/ab_step_time.py measured the
+# TPU step perf-neutral and the program materially cheaper to compile).
+# MOBOCMF_FUSED_COND=0 restores the three-forward path.
+FUSED_COND_DEFAULT = os.environ.get("MOBOCMF_FUSED_COND", "1") == "1"
+
 Array = jnp.ndarray
 
 NUM_OMEGA_POINTS = 10  # reference :277
@@ -404,17 +410,19 @@ def train_conditioned(
     lr: float,
     eps_const: float,
     batch_size: int,
+    fused: bool = FUSED_COND_DEFAULT,
 ):
     op, cp, _, losses = train_conditioned_carry(
         obj_params, con_params, obj_consts, con_consts, config, data, key,
-        num_iters, lr, eps_const, batch_size,
+        num_iters, lr, eps_const, batch_size, fused=fused,
     )
     return op, cp, losses
 
 
 train_conditioned_jit = jax.jit(
     train_conditioned,
-    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size"),
+    static_argnames=("config", "num_iters", "lr", "eps_const", "batch_size",
+                     "fused"),
 )
 
 
@@ -468,7 +476,7 @@ def train_conditioned_chunked(
     MOBOCMF_FUSED_COND=0 restores the three-forward path (A/B harness:
     benchmarks/ab_step_time.py)."""
     _check_shared_inducing(obj_consts, con_consts)
-    fused = os.environ.get("MOBOCMF_FUSED_COND", "1") == "1"
+    fused = FUSED_COND_DEFAULT
     c = trainer.chunk_size_for(data.x.shape[0])
     sizes = [c] * (num_iters // c)
     if num_iters % c:

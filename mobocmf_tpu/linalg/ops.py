@@ -158,8 +158,11 @@ def safe_cholesky(k: Array, jitter) -> Array:
 
 def safe_cholesky_rel(k: Array, rel: float) -> Array:
     """safe_cholesky with jitter RELATIVE to the mean diagonal — for matrices
-    whose scale is data-dependent (RFF posterior weight covariances)."""
-    scale = jnp.mean(jnp.abs(jnp.diagonal(jax.lax.stop_gradient(k), axis1=-2, axis2=-1)))
+    whose scale is data-dependent (RFF posterior weight covariances).
+
+    Shares _diag_scale with the f32 jitter floors so the scale heuristic has
+    one definition (per-matrix over batch dims; scalar for 2-D inputs)."""
+    scale = _diag_scale(k)
     if k.dtype == jnp.float64:
         return cholesky(k + (rel * scale) * jnp.eye(k.shape[-1], dtype=k.dtype))
     return safe_cholesky(k, rel * scale)

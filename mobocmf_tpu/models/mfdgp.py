@@ -351,26 +351,30 @@ def _init_mfdgp_impl(
         # layers > 0 the init Z includes the values column (the static last
         # column before the dynamic chain takes over).
         m0 = values.astype(dtype)
-        if ell == num_fidelities - 1:
-            gram, _ = _layer_fns(ell, use_only_highest_fidelity)
-            z_full = z_x if ell == 0 else jnp.concatenate([z_x, values[:, None]], 1)
-            k0 = gram(kparams, z_full, z_full) + jitter * jnp.eye(z_x.shape[0], dtype=dtype)
-            cov0 = k0 * (1e-2 * y_high_std**2) ** 2
-        else:
-            cov0 = 1e-8 * jnp.eye(z_x.shape[0], dtype=dtype)
-        variational = svgp.init_variational(m0, cov0, dtype=dtype)
         if whitened and whitened_init == "prior":
             # standard whitened-SVGP init: q(v) = N(0, I), i.e. q(u) = the
             # prior N(0, Kzz) — scale-independent (no L_K^{-1} amplification
             # at singular Kzz) and well-conditioned at any m; the next
-            # layer's dynamic chain mean is exactly 0
+            # layer's dynamic chain mean is exactly 0. Skips the reference
+            # init entirely (its m×m Gram + host f64 Cholesky is O(m^3) —
+            # seconds per top layer per blackbox at m=2048 — and would be
+            # discarded here anyway).
             m = z_x.shape[0]
             variational = svgp.SVGPVariational(
                 mean=jnp.zeros((m,), dtype=dtype),
                 chol_raw=jnp.eye(m, dtype=dtype),
             )
             chain_prev = jnp.zeros((m,), dtype=dtype)
-        elif whitened:
+        else:  # reference init (unwhitened coords), converted below if whitened
+            if ell == num_fidelities - 1:
+                gram, _ = _layer_fns(ell, use_only_highest_fidelity)
+                z_full = z_x if ell == 0 else jnp.concatenate([z_x, values[:, None]], 1)
+                k0 = gram(kparams, z_full, z_full) + jitter * jnp.eye(z_x.shape[0], dtype=dtype)
+                cov0 = k0 * (1e-2 * y_high_std**2) ** 2
+            else:
+                cov0 = 1e-8 * jnp.eye(z_x.shape[0], dtype=dtype)
+            variational = svgp.init_variational(m0, cov0, dtype=dtype)
+        if whitened and whitened_init != "prior":
             # Convert the reference's unwhitened init into whitened coords:
             # m_w = L_K^{-1} m, L_w = L_K^{-1} L_S, with K at the DYNAMIC init
             # Z (last column = previous layer's chain mean, the value the

@@ -63,6 +63,7 @@ def save_fitter(path: str, fitter) -> None:
             "eps": float(fitter.eps),
             "polish": str(fitter.polish),
             "whitened": bool(fitter.whitened),
+            "whitened_init": str(fitter.whitened_init),
             "type_lengthscale": fitter.type_lengthscale.name,
         },
         "config": [fitter.models_objs[fitter.obj_names[0]].config._asdict()]

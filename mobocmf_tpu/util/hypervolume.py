@@ -163,6 +163,11 @@ def hypervolume(points: np.ndarray, ref: np.ndarray) -> float:
             stacklevel=2,
         )
         pts = _pareto_filter(_maxmin_subset(pts, HV_FRONT_CAP), ref)
+    return _wfg_exact(pts, ref)
+
+
+def _wfg_exact(pts: np.ndarray, ref: np.ndarray) -> float:
+    """Uncapped exact WFG with recursion-limit handling (callers bound size)."""
     import sys
 
     old_limit = sys.getrecursionlimit()
@@ -173,6 +178,59 @@ def hypervolume(points: np.ndarray, ref: np.ndarray) -> float:
         return float(_wfg(pts, ref))
     finally:
         sys.setrecursionlimit(old_limit)
+
+
+def hypervolume_pair(
+    opt_points: np.ndarray, rec_points: np.ndarray, ref: np.ndarray
+) -> "tuple[float, float]":
+    """(hv_opt, hv_rec) scored on a CONSISTENT basis for recommendation gaps.
+
+    ``hypervolume`` summarizes k>=3 fronts larger than ``HV_FRONT_CAP`` to a
+    max-min subset (a lower bound). Scoring a gap 100*(opt-rec)/opt with the
+    cap applied to each side INDEPENDENTLY is unsound: when only the optimal
+    side caps, its lower bound can fall below the exact rec HV and the gap
+    goes negative. This scorer keeps both values exact WFG HVs of explicit
+    point sets and, when the optimal front must be summarized, unions the
+    (possibly itself capped) rec basis into the optimal basis — so the
+    optimal basis dominates-or-contains every point the rec side is credited
+    with and ``hv_opt >= hv_rec`` holds by construction. The basis stays
+    bounded by 2*HV_FRONT_CAP points.
+    """
+    ref = np.asarray(ref, dtype=float)
+    k = ref.shape[0]
+    opt_f = _pareto_filter(
+        np.atleast_2d(np.asarray(opt_points, dtype=float)).reshape(-1, k), ref
+    )
+    rec_f = _pareto_filter(
+        np.atleast_2d(np.asarray(rec_points, dtype=float)).reshape(-1, k), ref
+    )
+    if k == 2 or (
+        opt_f.shape[0] <= HV_FRONT_CAP and rec_f.shape[0] <= HV_FRONT_CAP
+    ):
+        return hypervolume(opt_f, ref), hypervolume(rec_f, ref)
+    if rec_f.shape[0] > HV_FRONT_CAP:
+        warnings.warn(
+            f"hypervolume_pair: {rec_f.shape[0]}-point rec front exceeds "
+            f"HV_FRONT_CAP={HV_FRONT_CAP}; scoring a max-min subset",
+            stacklevel=2,
+        )
+        rec_f = _pareto_filter(_maxmin_subset(rec_f, HV_FRONT_CAP), ref)
+    hv_rec = _wfg_exact(rec_f, ref) if rec_f.shape[0] else 0.0
+    if opt_f.shape[0] > HV_FRONT_CAP:
+        warnings.warn(
+            f"hypervolume_pair: {opt_f.shape[0]}-point optimal front exceeds "
+            f"HV_FRONT_CAP={HV_FRONT_CAP}; scoring a max-min subset unioned "
+            "with the rec basis (gap stays >= 0)",
+            stacklevel=2,
+        )
+        opt_f = _pareto_filter(
+            np.vstack([_maxmin_subset(opt_f, HV_FRONT_CAP), rec_f])
+            if rec_f.shape[0]
+            else _maxmin_subset(opt_f, HV_FRONT_CAP),
+            ref,
+        )
+    hv_opt = _wfg_exact(opt_f, ref) if opt_f.shape[0] else 0.0
+    return hv_opt, hv_rec
 
 
 def hypervolume_mc(

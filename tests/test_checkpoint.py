@@ -56,6 +56,7 @@ def test_checkpoint_meta_carries_hyperparameters(tmp_path):
         2, batch_size=n, lr_1=0.007, lr_2=0.0004, num_epochs_1=3,
         num_epochs_2=4, pareto_set_size=7, opt_grid_size=33, eps=1e-7,
         type_lengthscale=TL.ONES, polish="device", whitened=True,
+        whitened_init="prior",
     )
     fitter.initialize_mfdgp(x, jnp.asarray(rng.normal(size=(n, 1))), fid, "obj1")
     checkpoint.save_fitter(str(tmp_path / "ckh"), fitter)
@@ -67,6 +68,7 @@ def test_checkpoint_meta_carries_hyperparameters(tmp_path):
     assert restored.eps == 1e-7
     assert restored.polish == "device"
     assert restored.whitened is True
+    assert restored.whitened_init == "prior"
     assert restored.type_lengthscale == TL.ONES
     # and it actually trains with that schedule (3+4 epochs, no patching)
     restored.train_mfdgps()

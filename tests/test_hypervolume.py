@@ -129,3 +129,53 @@ def test_hv_duplicate_points():
     ref = np.ones(3)
     single = hypervolume(np.array([[0.2, 0.2, 0.2], [0.1, 0.5, 0.5]]), ref)
     np.testing.assert_allclose(hypervolume(pts, ref), single, rtol=1e-12)
+
+
+def test_hv_pair_consistent_capping():
+    """hypervolume_pair: gap sides share a basis when the cap triggers.
+
+    Independently capping the two sides of a recommendation gap is unsound —
+    the optimal side's summarized lower bound can fall below an exact rec HV
+    and the gap goes negative. The pair scorer unions the rec basis into the
+    capped optimal basis, so hv_opt >= hv_rec by construction whenever the
+    rec points lie in the feasible set the optimal front was drawn from."""
+    import warnings as _w
+
+    from mobocmf_tpu.util.hypervolume import (
+        HV_FRONT_CAP,
+        _pareto_filter,
+        hypervolume_pair,
+    )
+
+    rng = np.random.default_rng(7)
+    raw = np.abs(rng.normal(size=(2400, 4)))
+    cand = 0.9 * raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    ref = np.ones(4)
+    pts = _pareto_filter(cand, ref)[:700]
+    assert pts.shape[0] == 700 > HV_FRONT_CAP
+
+    # under the cap: identical to independent exact scoring
+    ho, hr = hypervolume_pair(pts[:100], pts[:40], ref)
+    assert ho == hypervolume(pts[:100], ref)
+    assert hr == hypervolume(pts[:40], ref)
+
+    # over the cap: many rec subsets of the (over-cap) optimal front — the
+    # pair gap must never go negative, even when the independently-capped
+    # optimal HV would fall below the exact rec HV
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        for k in (300, 450, 512):
+            rec = pts[rng.permutation(700)[:k]]
+            ho, hr = hypervolume_pair(pts, rec, ref)
+            assert ho >= hr, (k, ho, hr)
+            # both bounded below by the independently capped opt score
+            assert ho >= hypervolume(pts, ref) - 1e-12
+    assert any("optimal front exceeds" in str(c.message) for c in caught)
+
+    # rec side itself over the cap: capped, finite, still consistent
+    ho, hr = hypervolume_pair(pts, pts[:600], ref)
+    assert ho >= hr > 0.0
+
+    # empty rec side
+    ho, hr = hypervolume_pair(pts, np.zeros((0, 4)), ref)
+    assert hr == 0.0 and ho > 0.0
